@@ -1,0 +1,6 @@
+from calm_vit_dte_tpu.compat.torch_import import (
+    import_torch_state_dict,
+    vit_from_torch_state_dict,
+)
+
+__all__ = ["import_torch_state_dict", "vit_from_torch_state_dict"]

@@ -1,0 +1,162 @@
+"""CALM stage Block: row self-attention -> axial transpose -> column
+self-attention -> transpose back -> row/column cross-attention (resolution
+change) -> conv residual.
+
+Reference: Vi_Tools_CNN_less_V2.py:317-403. The first block tokenizes the
+image: (B, 3, H, W) -> each token is a full image *row* with RGB-interleaved
+pixels as features (B, H, W*3), requiring the invariant dim == 3 * seq. The
+axial transpose views (B, S, 3S) as (B, S, S, 3) and swaps the two spatial
+axes. Each block ends with a 1x1 -> GELU -> depthwise 3x3 -> GELU -> 1x1
+conv residual on the image-shaped tensor ("we CNN now", reference :377).
+
+TPU-native deltas from the reference:
+  * the conv residual runs directly in NHWC — the (B, S, S, 3) view IS NHWC,
+    so the reference's NCHW permute round-trip (:400-401) disappears;
+  * inputs arrive as NHWC images (B, H, W, 3); the first block's tokenization
+    is a single reshape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from calm_vit_dte_tpu.models.vmla import VMLAConfig, vmla_apply, vmla_init
+from calm_vit_dte_tpu.nn.conv import sn_conv2d_init, sn_conv2d_apply
+from calm_vit_dte_tpu.ops.latent_state import LatentState
+
+CONV_HIDDEN = 32
+
+
+@dataclass(frozen=True)
+class BlockConfig:
+    heads: int
+    dim1: int
+    dim_step: int
+    mean_var_hidden: int
+    seq_length: int
+    seq_len_step: int
+    is_first_block: bool
+    is_last_block: bool
+    seq_len_reduce: int
+    force_reduce: bool = False
+    out_features_override: int | None = None
+
+    @property
+    def dim2(self) -> int:
+        if self.out_features_override is not None:
+            return self.out_features_override
+        return self.dim1 + self.dim_step * 3
+
+    @property
+    def seq_len_new(self) -> int:
+        return self.seq_length + self.seq_len_step * 3
+
+    def encoder_cfg(self) -> VMLAConfig:
+        return VMLAConfig(
+            heads=self.heads, dim1=self.dim1, dim2=self.dim1,
+            mean_var_hidden=self.mean_var_hidden,
+            seq_length=self.seq_length, seq_len_reduce=self.seq_len_reduce,
+            seq_len_new=self.seq_length, mlp_dim=self.dim1 * 2,
+            force_reduce=self.force_reduce, use_mlp=True)
+
+    def decoder_cfg(self) -> VMLAConfig:
+        return self.encoder_cfg()
+
+    def cross_cfg(self) -> VMLAConfig:
+        return VMLAConfig(
+            heads=self.heads, dim1=self.dim1, dim2=self.dim2,
+            mean_var_hidden=self.mean_var_hidden,
+            seq_length=self.seq_length, seq_len_reduce=self.seq_len_reduce,
+            seq_len_new=self.seq_len_new,
+            # mlp width always follows dim1 + 3*dim_step, even when the output
+            # dim is overridden (reference :371).
+            mlp_dim=(self.dim1 + self.dim_step * 3) * 2,
+            force_reduce=self.force_reduce, is_cross=True, use_mlp=True)
+
+
+def conv_residual_init(key: jax.Array) -> tuple[dict, dict]:
+    """The 1x1 -> dw3x3 -> 1x1 conv stack (reference :379-385)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    p1, s1 = sn_conv2d_init(k1, 3, CONV_HIDDEN, 1, bias=True)
+    p2, s2 = sn_conv2d_init(k2, CONV_HIDDEN, CONV_HIDDEN, 3,
+                            groups=CONV_HIDDEN, bias=True)
+    p3, s3 = sn_conv2d_init(k3, CONV_HIDDEN, 3, 1, bias=True)
+    return ({"conv1": p1, "conv2": p2, "conv3": p3},
+            {"conv1": s1, "conv2": s2, "conv3": s3})
+
+
+def conv_residual_apply(params: dict, state: dict, x_seq: jax.Array, *,
+                        training: bool, dtype) -> tuple[jax.Array, dict]:
+    """x_seq: (B, S, 3S) row tokens -> conv residual term (B, S, 3S)."""
+    b, s, _ = x_seq.shape
+    img = x_seq.reshape(b, s, s, 3)  # NHWC directly
+    y, st1 = sn_conv2d_apply(params["conv1"], state["conv1"], img,
+                             training=training, dtype=dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    y, st2 = sn_conv2d_apply(params["conv2"], state["conv2"], y,
+                             groups=CONV_HIDDEN, training=training,
+                             dtype=dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    y, st3 = sn_conv2d_apply(params["conv3"], state["conv3"], y,
+                             training=training, dtype=dtype)
+    return (y.reshape(b, s, s * 3),
+            {"conv1": st1, "conv2": st2, "conv3": st3})
+
+
+def block_init(cfg: BlockConfig, key: jax.Array) -> tuple[dict, dict]:
+    ke, kd, kc, kp = jax.random.split(key, 4)
+    pe, se = vmla_init(cfg.encoder_cfg(), ke)
+    pd, sd = vmla_init(cfg.decoder_cfg(), kd)
+    pc, sc = vmla_init(cfg.cross_cfg(), kc)
+    pp, sp = conv_residual_init(kp)
+    return ({"encoder": pe, "decoder": pd, "cross": pc, "proj": pp},
+            {"encoder": se, "decoder": sd, "cross": sc, "proj": sp})
+
+
+def axial_transpose(x: jax.Array) -> jax.Array:
+    """(B, S, 3S) row tokens <-> column tokens (reference :394-398)."""
+    b, s, _ = x.shape
+    return x.reshape(b, s, s, 3).transpose(0, 2, 1, 3).reshape(b, s, s * 3)
+
+
+def tokenize_image(x: jax.Array) -> jax.Array:
+    """NHWC image (B, H, W, 3) -> row tokens (B, H, W*3)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w * c)
+
+
+def block_apply(cfg: BlockConfig, params: dict, state: dict, x: jax.Array,
+                esm: LatentState | None = None,
+                dsm: LatentState | None = None,
+                csm: LatentState | None = None, *, training: bool,
+                rng: jax.Array | None = None, dtype=jnp.float32,
+                use_mask: bool = True) -> tuple[jax.Array, dict]:
+    if rng is not None:
+        r_enc, r_dec, r_cross = jax.random.split(rng, 3)
+    else:
+        r_enc = r_dec = r_cross = None
+    new_state = dict(state)
+
+    xq = x
+    if cfg.is_first_block:
+        xq = tokenize_image(xq)
+    xq, new_state["encoder"], esm = vmla_apply(
+        cfg.encoder_cfg(), params["encoder"], state["encoder"], xq,
+        latent=esm, training=training, rng=r_enc, dtype=dtype,
+        use_mask=use_mask)
+    xkv = axial_transpose(xq)
+    xkv, new_state["decoder"], dsm = vmla_apply(
+        cfg.decoder_cfg(), params["decoder"], state["decoder"], xkv,
+        latent=dsm, training=training, rng=r_dec, dtype=dtype,
+        use_mask=use_mask)
+    xkv = axial_transpose(xkv)
+    x, new_state["cross"], csm = vmla_apply(
+        cfg.cross_cfg(), params["cross"], state["cross"], xq, input_kv=xkv,
+        latent=csm, training=training, rng=r_cross, dtype=dtype,
+        use_mask=use_mask)
+    x_img, new_state["proj"] = conv_residual_apply(
+        params["proj"], state["proj"], x, training=training, dtype=dtype)
+    return x + x_img, new_state

@@ -1,0 +1,295 @@
+"""VMLA ("Variational Multi-Head Latent Attention") block.
+
+The core primitive of CALM-ViT (reference: Vi_Tools_CNN_less_V2.py:98-315):
+a pre-LN attention block with
+  1. optional *feature* bottleneck: x -> (mu, sigma) via spectral-normed
+     linear, sigma = softplus + 1e-6, reparameterized sample during training;
+  2. optional *temporal* bottleneck: linear over the sequence axis
+     seq_length -> seq_len_reduce, then per-stream upsample -> seq_len_new;
+  3. DeepSeek-MLA-style decoupled RoPE (separate qr/kr projections, RoPE on
+     the rope half only, concat with the content half) when reducing; plain
+     RoPE over the full head dim otherwise;
+  4. learned additive attention mask: a 2-layer GELU MLP over the key axis of
+     the head-summed score matrix ("latent masking");
+  5. LayerScale on the attention and MLP branches;
+  6. residual shape-adaptation projections when seq/dim change;
+  7. a 2x GELU MLP;
+  8. spectral norm on every linear.
+
+This is a functional re-design: parameters and spectral-norm power-iteration
+vectors are explicit pytrees; variational noise comes from an explicit PRNG
+key; the cross-layer latent accumulator is a trace-time carry (LatentState).
+Control flow (reduce / t_reduce) is static, so jit sees fixed shapes.
+
+Known reference defect fixed here: with mask=False the reference crashes on
+mask_mat.unsqueeze (reference: :290-291); use_mask=False works here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from calm_vit_dte_tpu.nn.linear import sn_linear_init, sn_linear_apply
+from calm_vit_dte_tpu.nn.norm import layer_norm_init, layer_norm_apply
+from calm_vit_dte_tpu.ops.attention import masked_attention
+from calm_vit_dte_tpu.ops.latent_state import LatentState
+from calm_vit_dte_tpu.ops.rope import rope_init, rope_apply
+from calm_vit_dte_tpu.ops.variational import softplus_var, reparameterize
+
+
+@dataclass(frozen=True)
+class VMLAConfig:
+    heads: int
+    dim1: int
+    dim2: int
+    mean_var_hidden: int
+    seq_length: int
+    seq_len_reduce: int
+    seq_len_new: int
+    mlp_dim: int
+    force_reduce: bool = False
+    t_force_reduce: bool = False
+    dropout: float = 0.0
+    use_mlp: bool = True
+    is_cross: bool = False
+
+    @property
+    def reduce(self) -> bool:
+        return self.dim1 != self.dim2 or self.force_reduce
+
+    @property
+    def t_reduce(self) -> bool:
+        return self.seq_len_new != self.seq_length or self.t_force_reduce
+
+    @property
+    def head_dim_content(self) -> int:
+        return self.dim2 // self.heads // 2
+
+    @property
+    def head_dim_rope(self) -> int:
+        return self.dim2 // self.heads // 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.head_dim_content + self.head_dim_rope
+
+    def validate(self):
+        rope_dim = self.head_dim_rope if self.reduce else self.head_dim
+        if rope_dim % 2 != 0:
+            raise ValueError(
+                f"VMLA stage dim2={self.dim2}, heads={self.heads} yields odd "
+                f"RoPE dim {rope_dim}; dim2 % (4*heads) == 0 is required.")
+
+
+def vmla_init(cfg: VMLAConfig, key: jax.Array) -> tuple[dict, dict]:
+    cfg.validate()
+    keys = iter(jax.random.split(key, 32))
+    params: dict = {}
+    state: dict = {}
+
+    def add_sn(name: str, in_dim: int, out_dim: int, bias: bool = False):
+        p, s = sn_linear_init(next(keys), in_dim, out_dim, bias=bias)
+        params[name] = p
+        state[name] = s
+
+    params["ls_att"] = jnp.ones((cfg.dim2,), jnp.float32)
+    if cfg.use_mlp:
+        params["ls_mlp"] = jnp.ones((cfg.dim2,), jnp.float32)
+    params["ln_q"] = layer_norm_init(cfg.dim1)
+    if cfg.is_cross:
+        params["ln_kv"] = layer_norm_init(cfg.dim1)
+    if cfg.t_reduce:
+        add_sn("t_encoder_q", cfg.seq_length, cfg.seq_len_reduce)
+        add_sn("t_encoder_kv", cfg.seq_length, cfg.seq_len_reduce)
+    if cfg.reduce:
+        add_sn("encoder_q", cfg.dim1, cfg.mean_var_hidden * 2)
+        add_sn("encoder_kv", cfg.dim1, cfg.mean_var_hidden * 2)
+    if cfg.t_reduce:
+        add_sn("t_qz_upsample", cfg.seq_len_reduce, cfg.seq_len_new)
+        add_sn("t_kz_upsample", cfg.seq_len_reduce, cfg.seq_len_new)
+        add_sn("t_vz_upsample", cfg.seq_len_reduce, cfg.seq_len_new)
+        add_sn("t_qr_proj", cfg.seq_len_reduce, cfg.seq_len_new)
+        add_sn("t_kr_proj", cfg.seq_length, cfg.seq_len_new)
+    qkv_in = cfg.mean_var_hidden if cfg.reduce else cfg.dim2
+    qk_out = cfg.heads * (cfg.head_dim_content if cfg.reduce else cfg.head_dim)
+    add_sn("q_proj", qkv_in, qk_out)
+    add_sn("k_proj", qkv_in, qk_out)
+    add_sn("v_proj", qkv_in, cfg.dim2)
+    if cfg.reduce:
+        add_sn("qr_proj", cfg.mean_var_hidden, cfg.head_dim_rope * cfg.heads)
+        add_sn("kr_proj", cfg.dim1, cfg.head_dim_rope * cfg.heads)
+    if cfg.seq_len_new != cfg.seq_length:
+        add_sn("input_t_proj", cfg.seq_length, cfg.seq_len_new)
+    if cfg.dim1 != cfg.dim2:
+        add_sn("input_proj", cfg.dim1, cfg.dim2)
+    rope_dim = cfg.head_dim_rope if cfg.reduce else cfg.head_dim
+    params["rope_q"] = rope_init(rope_dim)
+    params["rope_k"] = rope_init(rope_dim)
+    # Learned attention mask MLP.
+    p1, s1 = sn_linear_init(next(keys), cfg.seq_len_new,
+                            cfg.seq_len_new * 2, bias=True)
+    p2, s2 = sn_linear_init(next(keys), cfg.seq_len_new * 2,
+                            cfg.seq_len_new, bias=True)
+    params["linear_mask"] = {"fc1": p1, "fc2": p2}
+    state["linear_mask"] = {"fc1": s1, "fc2": s2}
+    add_sn("out_proj", cfg.dim2, cfg.dim2)
+    params["ln_2"] = layer_norm_init(cfg.dim2)
+    if cfg.use_mlp:
+        add_sn("mlp_fc1", cfg.dim2, cfg.mlp_dim)
+        add_sn("mlp_fc2", cfg.mlp_dim, cfg.dim2)
+    return params, state
+
+
+def _sn_seq(p: dict, s: dict, x: jax.Array, *, training: bool, dtype):
+    """Spectral-normed linear over the sequence (-2) axis."""
+    y, st = sn_linear_apply(p, s, jnp.swapaxes(x, -1, -2),
+                            training=training, dtype=dtype)
+    return jnp.swapaxes(y, -1, -2), st
+
+
+def _split_heads(x: jax.Array, heads: int, head_dim: int) -> jax.Array:
+    b, s, _ = x.shape
+    return x.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def vmla_apply(cfg: VMLAConfig, params: dict, state: dict,
+               input_q: jax.Array, input_kv: jax.Array | None = None,
+               latent: LatentState | None = None, *, training: bool,
+               rng: jax.Array | None = None, dtype=jnp.float32,
+               use_mask: bool = True,
+               ) -> tuple[jax.Array, dict, LatentState | None]:
+    """Forward one VMLA layer. Returns (y, new_state, latent carry)."""
+    new_state = dict(state)
+    residual = input_q
+
+    xq = layer_norm_apply(params["ln_q"], input_q, dtype=dtype)
+    if input_kv is None:
+        xkv = xq
+    else:
+        xkv = layer_norm_apply(params["ln_kv"], input_kv, dtype=dtype)
+
+    qz, kz, vz, qr, kr = xq, xkv, xkv, xq, xkv
+    if cfg.reduce:
+        if cfg.t_reduce:
+            xq, new_state["t_encoder_q"] = _sn_seq(
+                params["t_encoder_q"], state["t_encoder_q"], xq,
+                training=training, dtype=dtype)
+            xkv, new_state["t_encoder_kv"] = _sn_seq(
+                params["t_encoder_kv"], state["t_encoder_kv"], xkv,
+                training=training, dtype=dtype)
+        mv_q, new_state["encoder_q"] = sn_linear_apply(
+            params["encoder_q"], state["encoder_q"], xq,
+            training=training, dtype=dtype)
+        mv_kv, new_state["encoder_kv"] = sn_linear_apply(
+            params["encoder_kv"], state["encoder_kv"], xkv,
+            training=training, dtype=dtype)
+        mean_zq, var_zq_raw = jnp.split(mv_q, 2, axis=-1)
+        mean_zkv, var_zkv_raw = jnp.split(mv_kv, 2, axis=-1)
+        var_zq = softplus_var(var_zq_raw)
+        var_zkv = softplus_var(var_zkv_raw)
+        if training:
+            kq, kkv = jax.random.split(rng)
+        else:
+            kq = kkv = None
+        zq = reparameterize(kq, mean_zq, var_zq, training=training)
+        zkv = reparameterize(kkv, mean_zkv, var_zkv, training=training)
+        if latent is not None:
+            zq, zkv = latent.update(zq, zkv, mean_zq, var_zq,
+                                    mean_zkv, var_zkv)
+        zq = zq.astype(dtype)
+        zkv = zkv.astype(dtype)
+        qr, qz, kz, vz = zq, zq, zkv, zkv
+        if cfg.t_reduce:
+            qz, new_state["t_qz_upsample"] = _sn_seq(
+                params["t_qz_upsample"], state["t_qz_upsample"], qz,
+                training=training, dtype=dtype)
+            kz, new_state["t_kz_upsample"] = _sn_seq(
+                params["t_kz_upsample"], state["t_kz_upsample"], kz,
+                training=training, dtype=dtype)
+            vz, new_state["t_vz_upsample"] = _sn_seq(
+                params["t_vz_upsample"], state["t_vz_upsample"], vz,
+                training=training, dtype=dtype)
+            qr, new_state["t_qr_proj"] = _sn_seq(
+                params["t_qr_proj"], state["t_qr_proj"], qr,
+                training=training, dtype=dtype)
+            # kr upsamples from the full-resolution normed kv (reference
+            # binds kr before the temporal encoder rebinding, :221 vs :227).
+            kr, new_state["t_kr_proj"] = _sn_seq(
+                params["t_kr_proj"], state["t_kr_proj"], kr,
+                training=training, dtype=dtype)
+
+    qz, new_state["q_proj"] = sn_linear_apply(
+        params["q_proj"], state["q_proj"], qz, training=training, dtype=dtype)
+    kz, new_state["k_proj"] = sn_linear_apply(
+        params["k_proj"], state["k_proj"], kz, training=training, dtype=dtype)
+    vz, new_state["v_proj"] = sn_linear_apply(
+        params["v_proj"], state["v_proj"], vz, training=training, dtype=dtype)
+
+    content_dim = cfg.head_dim_content if cfg.reduce else cfg.head_dim
+    q = _split_heads(qz, cfg.heads, content_dim)
+    k = _split_heads(kz, cfg.heads, content_dim)
+    v = _split_heads(vz, cfg.heads, cfg.head_dim)
+
+    if cfg.reduce:
+        qr, new_state["qr_proj"] = sn_linear_apply(
+            params["qr_proj"], state["qr_proj"], qr,
+            training=training, dtype=dtype)
+        kr, new_state["kr_proj"] = sn_linear_apply(
+            params["kr_proj"], state["kr_proj"], kr,
+            training=training, dtype=dtype)
+        qr = _split_heads(qr, cfg.heads, cfg.head_dim_rope)
+        kr = _split_heads(kr, cfg.heads, cfg.head_dim_rope)
+        q = jnp.concatenate(
+            [q.astype(jnp.float32), rope_apply(params["rope_q"], qr)], axis=-1)
+        k = jnp.concatenate(
+            [k.astype(jnp.float32), rope_apply(params["rope_k"], kr)], axis=-1)
+    else:
+        q = rope_apply(params["rope_q"], q)
+        k = rope_apply(params["rope_k"], k)
+
+    attn, new_state["linear_mask"] = masked_attention(
+        q, k, v, params.get("linear_mask"), state.get("linear_mask"),
+        training=training, dtype=dtype, use_mask=use_mask)
+    x = _merge_heads(attn)
+    x, new_state["out_proj"] = sn_linear_apply(
+        params["out_proj"], state["out_proj"], x, training=training,
+        dtype=dtype)
+    x = x * params["ls_att"].astype(dtype)
+    if cfg.dropout > 0.0 and training:
+        keep = 1.0 - cfg.dropout
+        drop_key = jax.random.fold_in(rng, 1)
+        x = x * jax.random.bernoulli(drop_key, keep, x.shape) / keep
+
+    if residual.shape != x.shape:
+        if "input_t_proj" in params:
+            residual, new_state["input_t_proj"] = _sn_seq(
+                params["input_t_proj"], state["input_t_proj"], residual,
+                training=training, dtype=dtype)
+        if "input_proj" in params:
+            residual, new_state["input_proj"] = sn_linear_apply(
+                params["input_proj"], state["input_proj"], residual,
+                training=training, dtype=dtype)
+    x = x + residual.astype(dtype)
+
+    if cfg.use_mlp:
+        y = layer_norm_apply(params["ln_2"], x, dtype=dtype)
+        y, new_state["mlp_fc1"] = sn_linear_apply(
+            params["mlp_fc1"], state["mlp_fc1"], y, training=training,
+            dtype=dtype)
+        y = jax.nn.gelu(y, approximate=False)
+        y, new_state["mlp_fc2"] = sn_linear_apply(
+            params["mlp_fc2"], state["mlp_fc2"], y, training=training,
+            dtype=dtype)
+        y = y * params["ls_mlp"].astype(dtype)
+        out = x + y
+    else:
+        out = layer_norm_apply(params["ln_2"], x, dtype=dtype)
+    return out, new_state, latent

@@ -1,0 +1,44 @@
+"""Torch-distribution-compatible initializers.
+
+The reference relies on PyTorch default inits (kaiming_uniform with a=sqrt(5)
+for Linear/Conv2d weights, U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for biases;
+see torch.nn.Linear.reset_parameters). We reproduce the *distributions* so a
+self-trained model behaves like the reference; bit-level parity with torch is
+established separately by importing reference weights (compat/torch_import.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def kaiming_uniform(key: jax.Array, shape: tuple[int, ...], fan_in: int,
+                    dtype=jnp.float32) -> jax.Array:
+    """torch.nn.init.kaiming_uniform_(w, a=sqrt(5)): U(-1/sqrt(fan_in), +)."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def bias_uniform(key: jax.Array, shape: tuple[int, ...], fan_in: int,
+                 dtype=jnp.float32) -> jax.Array:
+    """torch Linear/Conv bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def normalized_normal(key: jax.Array, shape: tuple[int, ...],
+                      eps: float = 1e-12, dtype=jnp.float32) -> jax.Array:
+    """Unit-norm Gaussian vector (torch spectral_norm u/v init)."""
+    v = jax.random.normal(key, shape, dtype)
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+def ones(shape, dtype=jnp.float32):
+    return jnp.ones(shape, dtype)
+
+
+def zeros(shape, dtype=jnp.float32):
+    return jnp.zeros(shape, dtype)
