@@ -1,0 +1,43 @@
+"""Optimizer and LR schedule, matching the reference trainers.
+
+AdamW(lr=3.1e-3, weight_decay=0.02, betas=(0.9, 0.98)) (reference:
+distributed_trainer_cls.py:158) with global-norm gradient clipping at 1.0
+(:92) and cosine annealing to eta_min=1e-6 stepped per *epoch* (:52,108-109 —
+the trainer overrides whatever scheduler was passed in; we reproduce the
+effective behavior and drop the dead argument, per SURVEY.md decision log).
+
+The reference's GradScaler is a no-op under bf16 (bf16 has fp32-range
+exponent); it is intentionally dropped.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def cosine_per_epoch_schedule(base_lr: float, epochs: int,
+                              steps_per_epoch: int,
+                              eta_min: float = 1e-6):
+    """torch CosineAnnealingLR(T_max=epochs) stepped once per epoch:
+    lr(step) = eta_min + (base - eta_min) * (1 + cos(pi*epoch/T_max)) / 2."""
+
+    def schedule(step):
+        epoch = jnp.minimum(step // steps_per_epoch, epochs)
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return schedule
+
+
+def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
+                   b1: float = 0.9, b2: float = 0.98, epochs: int = 65,
+                   steps_per_epoch: int = 1000, clip_norm: float = 1.0,
+                   eta_min: float = 1e-6) -> optax.GradientTransformation:
+    schedule = cosine_per_epoch_schedule(base_lr, epochs, steps_per_epoch,
+                                         eta_min)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(learning_rate=schedule, b1=b1, b2=b2, eps=1e-8,
+                    weight_decay=weight_decay),
+    )

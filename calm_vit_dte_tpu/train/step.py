@@ -1,0 +1,109 @@
+"""Jitted train/eval steps for the two reference workloads.
+
+Classification (reference: distributed_trainer_cls.py:79-104): bf16 forward,
+CE loss on CutMix/MixUp soft labels, global-norm clip 1.0, AdamW; metrics are
+loss + dominant-class accuracy.
+
+Regression/reconstruction (reference: distributed_trainer_reg.py:71-100):
+bf16 forward, Huber(recon, input) + 0.1*KL.
+
+The returned step functions are pure (TrainState, batch) -> (TrainState,
+metrics); the trainer jits them over the mesh with donated state. Data
+parallelism comes from batch sharding — XLA inserts the gradient all-reduce
+(the reference needed DDP + NCCL for this).
+
+Variational sampling: the per-step key is fold_in(state.rng, state.step), so
+resume-from-checkpoint reproduces the exact noise sequence (the reference's
+CUDA RNG state was lost on restart).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from calm_vit_dte_tpu.models.vit import ViTConfig, vit_apply
+from calm_vit_dte_tpu.train.losses import (
+    dominant_class_accuracy,
+    reconstruction_loss,
+    softmax_cross_entropy,
+)
+from calm_vit_dte_tpu.train.state import TrainState
+
+
+def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
+                    task: str, dtype=jnp.bfloat16,
+                    remat: bool = True) -> Callable:
+    """task: 'cls' (CE on soft labels) or 'reg' (Huber + 0.1*KL)."""
+    if task not in ("cls", "reg"):
+        raise ValueError(task)
+
+    apply = vit_apply
+    if remat:
+        # Rematerialize the forward during backprop: trades MXU FLOPs for
+        # HBM, letting the big per-chip batches (484/456) fit.
+        apply = jax.checkpoint(
+            partial(vit_apply, cfg), static_argnames=("training",))
+
+        def apply_fn(params, sn_state, x, rng):
+            return apply(params, sn_state, x, training=True, rng=rng,
+                         dtype=dtype)
+    else:
+        def apply_fn(params, sn_state, x, rng):
+            return vit_apply(cfg, params, sn_state, x, training=True,
+                             rng=rng, dtype=dtype)
+
+    def train_step(state: TrainState, batch: dict[str, Any]):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            out, kl, new_sn = apply_fn(params, state.sn_state,
+                                       batch["image"], step_rng)
+            if task == "cls":
+                loss = softmax_cross_entropy(out, batch["label"])
+                metrics = {
+                    "loss": loss,
+                    "accuracy": dominant_class_accuracy(out, batch["label"]),
+                    "kl": kl,
+                }
+            else:
+                loss = reconstruction_loss(out, batch["image"], kl)
+                metrics = {"loss": loss, "kl": kl}
+            return loss, (metrics, new_sn, out)
+
+        grads, (metrics, new_sn, out) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            params=new_params,
+            sn_state=new_sn,
+            opt_state=new_opt,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ViTConfig, task: str,
+                   dtype=jnp.bfloat16) -> Callable:
+    def eval_step(state: TrainState, batch: dict[str, Any]):
+        out, kl, _ = vit_apply(cfg, state.params, state.sn_state,
+                               batch["image"], training=False, dtype=dtype)
+        if task == "cls":
+            pred = jnp.argmax(out, axis=-1)
+            correct = jnp.sum((pred == batch["label"]).astype(jnp.int32))
+            return {"correct": correct,
+                    "total": jnp.asarray(batch["label"].shape[0], jnp.int32),
+                    "kl": kl}
+        loss = reconstruction_loss(out, batch["image"], kl)
+        return {"loss": loss, "kl": kl, "tokens": out}
+
+    return eval_step
