@@ -1,0 +1,123 @@
+"""Benchmark: CALM-ViT-V2 ImageNet-1k 224px classification training
+throughput on the local TPU chip(s).
+
+Prints ONE JSON line:
+  {"metric": "imagenet224_cls_train_images_per_sec_per_chip",
+   "value": N, "unit": "images/sec/chip", "vs_baseline": R, ...}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline compares
+against the first recorded TPU measurement (bench_baseline.json, written on
+first successful run) — i.e. it tracks improvement across rounds; 1.0 on the
+round that establishes the baseline.
+
+The measured step is the full production train step: uint8 batch ->
+on-device augmentation + CutMix/MixUp -> bf16 forward/backward (fused Pallas
+axial attention) -> AdamW update, jitted as one XLA program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+METRIC = "imagenet224_cls_train_images_per_sec_per_chip"
+
+
+def build_step(batch_size: int):
+    from calm_vit_dte_tpu.data.pipeline import make_cls_preprocess
+    from calm_vit_dte_tpu.models.vit import vit_init
+    from calm_vit_dte_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated_sharding,
+    )
+    from calm_vit_dte_tpu.train.optim import make_optimizer
+    from calm_vit_dte_tpu.train.state import create_train_state
+    from calm_vit_dte_tpu.train.step import make_train_step
+    from calm_vit_dte_tpu.utils.configs import get_config
+
+    cfg = get_config("imagenet-cls-224")
+    mesh = make_mesh()
+    params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.beta1, cfg.beta2,
+                        cfg.epochs, steps_per_epoch=1000)
+    state = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    step_fn = make_train_step(cfg.model, tx, "cls", dtype=jnp.bfloat16,
+                              preprocess=make_cls_preprocess(1000, 224))
+    jit_step = jax.jit(step_fn, donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (batch_size, 256, 256, 3), dtype=np.uint8)
+    labels = rng.integers(0, 1000, (batch_size,), dtype=np.int32)
+    sh = batch_sharding(mesh)
+    batch = {"image": jax.device_put(imgs, sh),
+             "label": jax.device_put(labels, sh)}
+    return state, batch, jit_step
+
+
+def measure(batch_size: int, warmup: int = 3, iters: int = 10):
+    state, batch, jit_step = build_step(batch_size)
+    for _ in range(warmup):
+        state, metrics = jit_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = jit_step(state, batch)
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    n_chips = jax.device_count()
+    return batch_size / p50 / n_chips, p50, float(metrics["loss"])
+
+
+def main() -> None:
+    last_err = None
+    for bs in (256, 128, 64, 32, 16, 8):
+        try:
+            ips, p50, loss = measure(bs)
+            break
+        except Exception as e:  # OOM or compile failure: shrink
+            last_err = e
+            continue
+    else:
+        print(json.dumps({"metric": METRIC, "value": 0.0,
+                          "unit": "images/sec/chip", "vs_baseline": 0.0,
+                          "error": str(last_err)[:400]}))
+        return
+
+    vs = 1.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs = ips / base["value"]
+    else:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": METRIC, "value": ips,
+                       "recorded": time.strftime("%Y-%m-%d")}, f)
+
+    print(json.dumps({
+        "metric": METRIC,
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 4),
+        "p50_step_time_s": round(p50, 4),
+        "batch_size": bs,
+        "n_chips": jax.device_count(),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

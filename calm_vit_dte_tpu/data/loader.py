@@ -1,0 +1,144 @@
+"""Host-side dataset + threaded prefetching batch loader.
+
+Replaces the reference's torchvision ImageNet dataset + DataLoader
+(num_workers=5, pin_memory, persistent_workers — reference:
+distributed_trainer_cls.py:62,140-144). Host work here is only JPEG decode +
+resize to 256x256 uint8; every augmentation runs on device
+(data/augment.py). Decoded batches flow through a bounded queue from worker
+threads, so decode overlaps device compute (double-buffered feed).
+
+Datasets:
+  ImageFolderDataset — ImageNet-layout directory tree
+                       (root/<split>/<wnid>/*.JPEG), classes sorted by name;
+  SyntheticDataset   — deterministic random data for benchmarks/tests when
+                       no dataset is mounted.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import queue
+import threading
+
+import numpy as np
+
+from calm_vit_dte_tpu.data.sampler import ShardedSampler
+
+_EXTS = {".jpeg", ".jpg", ".png", ".bmp", ".webp"}
+
+
+class ImageFolderDataset:
+    def __init__(self, root: str, split: str = "train", size: int = 256):
+        self.size = size
+        base = pathlib.Path(root) / split
+        if not base.is_dir():
+            raise FileNotFoundError(f"dataset split not found: {base}")
+        self.classes = sorted(p.name for p in base.iterdir() if p.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples: list[tuple[str, int]] = []
+        for c in self.classes:
+            for f in sorted((base / c).iterdir()):
+                if f.suffix.lower() in _EXTS:
+                    self.samples.append((str(f), self.class_to_idx[c]))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+    def load(self, idx: int) -> tuple[np.ndarray, int]:
+        from PIL import Image
+
+        path, label = self.samples[idx]
+        with Image.open(path) as im:
+            im = im.convert("RGB").resize((self.size, self.size),
+                                          Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8), label
+
+
+class SyntheticDataset:
+    """Deterministic fake ImageNet: index-seeded uint8 images."""
+
+    def __init__(self, n: int = 50000, num_classes: int = 1000,
+                 size: int = 256):
+        self.n = n
+        self.num_classes = num_classes
+        self.size = size
+
+    def __len__(self) -> int:
+        return self.n
+
+    def load(self, idx: int) -> tuple[np.ndarray, int]:
+        rng = np.random.default_rng(idx)
+        img = rng.integers(0, 256, (self.size, self.size, 3), dtype=np.uint8)
+        return img, int(idx % self.num_classes)
+
+
+class BatchLoader:
+    """Threaded prefetching loader: yields {'image': u8 (B,S,S,3),
+    'label': i32 (B,)} numpy batches for one epoch."""
+
+    def __init__(self, dataset, sampler: ShardedSampler, batch_size: int,
+                 num_workers: int = 5, prefetch: int = 4,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        indices = self.sampler.indices()
+        nb = self.steps_per_epoch()
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        task_q: queue.Queue = queue.Queue()
+        results: dict[int, dict] = {}
+        lock = threading.Lock()
+        # Backpressure: at most prefetch + num_workers batches in flight.
+        budget = threading.Semaphore(self.prefetch + self.num_workers)
+        for i, b in enumerate(batches):
+            task_q.put((i, b))
+
+        def worker():
+            while True:
+                # Acquire before claiming a task: tokens then always belong
+                # to claimed tasks, and FIFO claiming guarantees the lowest
+                # unconsumed batch is in flight -> no deadlock.
+                budget.acquire()
+                try:
+                    i, idxs = task_q.get_nowait()
+                except queue.Empty:
+                    budget.release()
+                    return
+                imgs = np.empty((len(idxs), self.dataset.size,
+                                 self.dataset.size, 3), np.uint8)
+                labels = np.empty((len(idxs),), np.int32)
+                for j, idx in enumerate(idxs):
+                    imgs[j], labels[j] = self.dataset.load(int(idx))
+                with lock:
+                    results[i] = {"image": imgs, "label": labels}
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        next_idx = 0
+        import time
+        while next_idx < nb:
+            with lock:
+                batch = results.pop(next_idx, None)
+            if batch is None:
+                time.sleep(0.002)
+                continue
+            budget.release()
+            yield batch
+            next_idx += 1

@@ -1,5 +1,5 @@
 """Scaled dot-product attention with a learned additive mask ("latent
-masking"), XLA reference path.
+masking").
 
 The reference computes QK^T twice — once flattened across heads to feed the
 mask MLP, once inside F.scaled_dot_product_attention (reference:
@@ -8,38 +8,103 @@ Because the flattened product q_mask @ k_mask^T over the concatenated head
 axis equals the per-head score tensors summed over heads, we compute the
 per-head scores ONCE, reduce over the head axis for the mask-MLP input, and
 reuse the same scores for the softmax — mathematically identical, one big
-matmul cheaper. The Pallas kernel (kernels/axial_attention.py) fuses the
-whole chain; this module is the XLA fallback and the correctness oracle.
+matmul cheaper.
 
 Mask MLP (reference: :189-194): Linear(S, 2S, bias) -> exact GELU ->
 Linear(2S, S, bias), both spectral-normed, applied over the last (key) axis
-of the (B, Sq, Skv) summed score matrix; the result is broadcast over heads
-as an additive float mask.
+of the (B, Sq, Skv) summed score matrix; broadcast over heads additively.
 
-Softmax runs in fp32 (torch SDPA accumulates softmax in fp32 on bf16 inputs);
-score matmuls accumulate fp32 on the MXU via preferred_element_type.
+Implementations (select with the attention_impl() context):
+  'xla'    — whole-batch einsum path: the correctness oracle. Materializes
+             (B, H, Sq, Skv) scores; fine for tests/small batches.
+  'chunked'— lax.map over batch chunks with rematerialization: HBM-bounded
+             (never more than chunk*H*Sq*Skv scores live), matching how the
+             reference survives batch 484 only via torch's memory-efficient
+             SDPA backend.
+  'pallas' — fused TPU kernel (kernels/axial_attention.py): scores, mask
+             MLP, softmax and PV never leave VMEM.
+  'auto'   — pallas on TPU when supported, else chunked when the score
+             tensor would exceed the HBM budget, else xla.
+
+Softmax always runs in fp32 (torch SDPA accumulates softmax in fp32 on bf16
+inputs); score matmuls accumulate fp32 on the MXU via
+preferred_element_type.
 """
 
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from calm_vit_dte_tpu.nn.linear import sn_linear_apply
+from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
+
+_STATE = {"impl": "auto", "chunk": None}
+# 'auto' switches from whole-batch to chunked when the fp32 score tensor
+# would exceed this many bytes.
+_AUTO_SCORE_BUDGET = 1 << 28  # 256 MB
 
 
-def mask_mlp_apply(mask_params: dict, mask_state: dict, scores_sum: jax.Array,
-                   *, training: bool, dtype) -> tuple[jax.Array, dict]:
-    """scores_sum: (B, Sq, Skv) -> additive mask (B, Sq, Skv)."""
-    h, st1 = sn_linear_apply(mask_params["fc1"], mask_state["fc1"],
-                             scores_sum.astype(dtype), training=training,
-                             dtype=dtype)
-    h = jax.nn.gelu(h, approximate=False)
-    m, st2 = sn_linear_apply(mask_params["fc2"], mask_state["fc2"], h,
-                             training=training, dtype=dtype)
-    return m, {"fc1": st1, "fc2": st2}
+@contextmanager
+def attention_impl(impl: str, chunk: int | None = None):
+    """Select the attention implementation for a scope (thread-level)."""
+    prev = dict(_STATE)
+    _STATE.update(impl=impl, chunk=chunk)
+    try:
+        yield
+    finally:
+        _STATE.update(prev)
+
+
+def _pick_impl(b: int, h: int, sq: int, skv: int) -> tuple[str, int]:
+    impl = _STATE["impl"]
+    chunk = _STATE["chunk"]
+    if impl == "auto":
+        if _pallas_supported(b, h, sq, skv):
+            impl = "pallas"
+        elif b * h * sq * skv * 4 > _AUTO_SCORE_BUDGET:
+            impl = "chunked"
+        else:
+            impl = "xla"
+    if impl == "chunked" and chunk is None:
+        per_item = h * sq * skv * 4
+        chunk = max(1, _AUTO_SCORE_BUDGET // (4 * per_item))
+        while b % chunk:
+            chunk -= 1
+    return impl, chunk
+
+
+def _pallas_supported(b: int, h: int, sq: int, skv: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    from calm_vit_dte_tpu.kernels import axial_attention as ka
+
+    return ka.supported(h, sq, skv)
+
+
+def _attention_core(q, k, v, w1, b1, w2, b2, *, scale: float, dtype,
+                    use_mask: bool):
+    """Whole-batch reference math. q,k: (B,H,Sq|Skv,D); v: (B,H,Skv,Dv);
+    mask weights already spectral-normalized."""
+    qc = q.astype(dtype)
+    kc = k.astype(dtype)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qc, kc,
+                        preferred_element_type=jnp.float32)
+    logits = scores * scale
+    if use_mask:
+        ssum = jnp.sum(scores, axis=1).astype(dtype)  # flattened-head QK^T
+        hmid = jnp.dot(ssum, w1.T.astype(dtype),
+                       preferred_element_type=dtype) + b1.astype(dtype)
+        hmid = jax.nn.gelu(hmid, approximate=False)
+        mask = jnp.dot(hmid, w2.T.astype(dtype),
+                       preferred_element_type=dtype) + b2.astype(dtype)
+        logits = logits + mask.astype(jnp.float32)[:, None, :, :]
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(dtype),
+                      v.astype(dtype), preferred_element_type=dtype)
 
 
 def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -48,28 +113,47 @@ def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      use_mask: bool = True) -> tuple[jax.Array, dict]:
     """q, k: (B, H, Sq|Skv, D); v: (B, H, Skv, Dv).
 
-    Returns (out (B, H, Sq, Dv), new mask state). Scale is 1/sqrt(D) as in
-    torch SDPA's default (reference: :293-298 passes no explicit scale).
+    Returns (out (B, H, Sq, Dv), new mask-MLP spectral-norm state). Scale is
+    1/sqrt(D), torch SDPA's default (reference :293-298 passes no scale).
     """
-    head_dim = q.shape[-1]
-    scale = 1.0 / math.sqrt(head_dim)
-
-    qc = q.astype(dtype)
-    kc = k.astype(dtype)
-    # Per-head raw scores, fp32 accumulation on the MXU.
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qc, kc,
-                        preferred_element_type=jnp.float32)
+    b, h, sq, _ = q.shape
+    skv = k.shape[2]
+    scale = 1.0 / math.sqrt(q.shape[-1])
 
     new_mask_state = mask_state
-    logits = scores * scale
+    w1 = b1 = w2 = b2 = None
     if use_mask:
-        scores_sum = jnp.sum(scores, axis=1)  # == flattened-head QK^T
-        mask, new_mask_state = mask_mlp_apply(
-            mask_params, mask_state, scores_sum, training=training,
-            dtype=dtype)
-        logits = logits + mask.astype(jnp.float32)[:, None, :, :]
+        w1, st1 = spectral_normalize(mask_params["fc1"]["w"],
+                                     mask_state["fc1"], training=training)
+        w2, st2 = spectral_normalize(mask_params["fc2"]["w"],
+                                     mask_state["fc2"], training=training)
+        b1 = mask_params["fc1"]["b"]
+        b2 = mask_params["fc2"]["b"]
+        new_mask_state = {"fc1": st1, "fc2": st2}
 
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(dtype),
-                     v.astype(dtype), preferred_element_type=dtype)
+    impl, chunk = _pick_impl(b, h, sq, skv)
+    if impl == "pallas":
+        from calm_vit_dte_tpu.kernels.axial_attention import (
+            fused_masked_attention,
+        )
+
+        out = fused_masked_attention(q, k, v, w1, b1, w2, b2, scale=scale,
+                                     dtype=dtype, use_mask=use_mask)
+    elif impl == "chunked" and b > chunk:
+        core = jax.checkpoint(partial(_attention_core, scale=scale,
+                                      dtype=dtype, use_mask=use_mask))
+
+        def run_chunk(args):
+            qc, kc, vc = args
+            return core(qc, kc, vc, w1, b1, w2, b2)
+
+        n = b // chunk
+        qr = q.reshape(n, chunk, *q.shape[1:])
+        kr = k.reshape(n, chunk, *k.shape[1:])
+        vr = v.reshape(n, chunk, *v.shape[1:])
+        out = jax.lax.map(run_chunk, (qr, kr, vr))
+        out = out.reshape(b, *out.shape[2:])
+    else:
+        out = _attention_core(q, k, v, w1, b1, w2, b2, scale=scale,
+                              dtype=dtype, use_mask=use_mask)
     return out, new_mask_state

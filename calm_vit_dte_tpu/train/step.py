@@ -36,29 +36,32 @@ from calm_vit_dte_tpu.train.state import TrainState
 
 
 def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
-                    task: str, dtype=jnp.bfloat16,
-                    remat: bool = True) -> Callable:
-    """task: 'cls' (CE on soft labels) or 'reg' (Huber + 0.1*KL)."""
+                    task: str, dtype=jnp.bfloat16, remat: bool = True,
+                    preprocess: Callable | None = None) -> Callable:
+    """task: 'cls' (CE on soft labels) or 'reg' (Huber + 0.1*KL).
+
+    `preprocess(key, batch) -> batch` (e.g. data.pipeline.train_preprocess)
+    runs INSIDE the jitted step, so host->device traffic is raw uint8 images
+    and augmentation/mixup fuse into the same XLA program as the model."""
     if task not in ("cls", "reg"):
         raise ValueError(task)
 
-    apply = vit_apply
+    def _train_apply(params, sn_state, x, rng):
+        return vit_apply(cfg, params, sn_state, x, training=True, rng=rng,
+                         dtype=dtype)
+
     if remat:
         # Rematerialize the forward during backprop: trades MXU FLOPs for
         # HBM, letting the big per-chip batches (484/456) fit.
-        apply = jax.checkpoint(
-            partial(vit_apply, cfg), static_argnames=("training",))
-
-        def apply_fn(params, sn_state, x, rng):
-            return apply(params, sn_state, x, training=True, rng=rng,
-                         dtype=dtype)
+        apply_fn = jax.checkpoint(_train_apply)
     else:
-        def apply_fn(params, sn_state, x, rng):
-            return vit_apply(cfg, params, sn_state, x, training=True,
-                             rng=rng, dtype=dtype)
+        apply_fn = _train_apply
 
     def train_step(state: TrainState, batch: dict[str, Any]):
         step_rng = jax.random.fold_in(state.rng, state.step)
+        if preprocess is not None:
+            data_rng = jax.random.fold_in(step_rng, 1)
+            batch = preprocess(data_rng, batch)
 
         def loss_fn(params):
             out, kl, new_sn = apply_fn(params, state.sn_state,

@@ -1,0 +1,147 @@
+"""Model-stack structure tests: shapes, constraints, variants the parity
+goldens don't cover (Encoder8, CALMLatentDiffusion, force_reduce, use_mask
+off, latent-state combine modes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from calm_vit_dte_tpu.models.block import axial_transpose
+from calm_vit_dte_tpu.models.encoder_decoder import (
+    CALMLatentDiffusionConfig,
+    Encoder8Config,
+    EncoderDecoder8Config,
+    calm_latent_diffusion_apply,
+    calm_latent_diffusion_init,
+    encoder8_apply,
+    encoder8_init,
+    encoder_decoder8_apply,
+    encoder_decoder8_init,
+)
+from calm_vit_dte_tpu.models.vit import ViTConfig, vit_init
+from calm_vit_dte_tpu.models.vmla import VMLAConfig
+from calm_vit_dte_tpu.ops.latent_state import LatentState
+
+TINY = dict(heads=3, dim1=144, dim_step=12, mean_var_hidden=24,
+            seq_length=48, seq_len_step=4, seq_len_reduce=8)
+
+
+def test_axial_transpose_involution():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 24))
+    y = axial_transpose(axial_transpose(x))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # transpose actually swaps the spatial axes
+    img = np.asarray(x).reshape(2, 8, 8, 3)
+    t = np.asarray(axial_transpose(x)).reshape(2, 8, 8, 3)
+    np.testing.assert_array_equal(img.transpose(0, 2, 1, 3), t)
+
+
+def test_vmla_rejects_odd_rope_dim():
+    # The reference Encoder_8 defaults crash this way at runtime; we reject
+    # at construction (SURVEY.md s2a).
+    cfg = VMLAConfig(heads=12, dim1=600, dim2=600, mean_var_hidden=192,
+                     seq_length=200, seq_len_reduce=96, seq_len_new=200,
+                     mlp_dim=1200)
+    with pytest.raises(ValueError, match="RoPE"):
+        cfg.validate()
+
+
+def test_vit_config_validation():
+    with pytest.raises(ValueError, match="3\\*seq_length"):
+        ViTConfig(heads=3, seq_length=48, in_features=150,
+                  dim_step=12, seq_len_step=4).validate()
+    with pytest.raises(ValueError, match="dim_step"):
+        ViTConfig(heads=3, seq_length=48, in_features=144,
+                  dim_step=12, seq_len_step=5).validate()
+
+
+def test_encoder8_shapes():
+    cfg = Encoder8Config(**{**TINY, "seq_len_reduce": 8})
+    params, state = encoder8_init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 48, 3))
+    y, _ = jax.jit(lambda p, s, x: encoder8_apply(cfg, p, s, x,
+                                                  training=False))(
+        params, state, x)
+    # two steps of -3*dim_step: 144 -> 108 -> 72; seq 48 -> 36 -> 24
+    assert y.shape == (2, 24, 72)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_calm_latent_diffusion_shapes():
+    cfg = CALMLatentDiffusionConfig(**TINY, mean_var_hidden_diffusion=8,
+                                    seq_len_reduce_diffusion=4)
+    params, state = calm_latent_diffusion_init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 48, 3))
+    y, kl, _ = jax.jit(
+        lambda p, s, x: calm_latent_diffusion_apply(cfg, p, s, x,
+                                                    training=False))(
+        params, state, x)
+    assert y.shape == (2, 48, 144)
+    assert np.isfinite(float(kl))
+
+
+def test_force_reduce_branch():
+    cfg = EncoderDecoder8Config(**TINY, force_reduce=True)
+    params, state = encoder_decoder8_init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 48, 3))
+    y, kl, _ = jax.jit(
+        lambda p, s, x: encoder_decoder8_apply(cfg, p, s, x,
+                                               training=False))(
+        params, state, x)
+    assert y.shape == (1, 48, 144)
+    # esm + dsm + csm all contribute
+    assert np.isfinite(float(kl))
+
+
+def test_use_mask_false_works():
+    # The reference crashes with mask=False (Vi_Tools_CNN_less_V2.py:290-291)
+    # — fixed here.
+    cfg = EncoderDecoder8Config(**TINY)
+    params, state = encoder_decoder8_init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 48, 48, 3))
+    y, kl, _ = jax.jit(
+        lambda p, s, x: encoder_decoder8_apply(cfg, p, s, x, training=False,
+                                               use_mask=False))(
+        params, state, x)
+    assert y.shape == (1, 48, 144)
+
+
+@pytest.mark.parametrize("mode,expected", [
+    # after two updates of values 1.0 then 3.0:
+    ("sum", 4.0),           # 1 + 3
+    ("sma", 2.0),           # (1+3)/2
+    ("ema", 1.0 + (2/3) * (3.0 - 1.0)),   # m = 2/(2+1)
+    ("lp", 1.0 + 0.5 * (3.0 - 1.0)),      # m = count/(count+1) with count=2... see below
+    ("static", 1.0 + 0.9 * (3.0 - 1.0)),  # momentum 0.9
+])
+def test_latent_state_modes(mode, expected):
+    # Reference combine semantics (Vi_Tools_CNN_less_V2.py:31-47).
+    ls = LatentState(mode=mode)
+    one = jnp.ones((2, 2))
+    mean = jnp.zeros((2, 2))
+    var = jnp.ones((2, 2))
+    ls.update(one, one, mean, var, mean, var)
+    zq, _ = ls.update(3 * one, 3 * one, mean, var, mean, var)
+    if mode == "lp":
+        expected = (2 / 3) * 3.0 + (1 / 3) * 1.0
+    np.testing.assert_allclose(np.asarray(zq)[0, 0], expected, rtol=1e-6)
+
+
+def test_latent_kl_mean_over_count():
+    ls = LatentState(mode="sum")
+    mean = jnp.full((2, 2), 0.5)
+    var = jnp.full((2, 2), 0.7)
+    for _ in range(3):
+        ls.update(mean, mean, mean, var, mean, var)
+    # kl per layer = 2 * kl(mean, var); total / count
+    from calm_vit_dte_tpu.ops.variational import kl_divergence
+    per = 2 * kl_divergence(mean, var)
+    np.testing.assert_allclose(float(ls.kl_loss()), float(per), rtol=1e-6)
+
+
+def test_param_count_tiny():
+    from calm_vit_dte_tpu.utils.configs import TINY_VIT
+    params, _ = vit_init(TINY_VIT, jax.random.PRNGKey(0))
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert n == 1_551_602  # pinned: tiny cls config

@@ -1,0 +1,87 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: data-parallel train
+step correctness vs single device, TP param sharding, graft entry dryrun."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from calm_vit_dte_tpu.models.vit import vit_init
+from calm_vit_dte_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated_sharding,
+)
+from calm_vit_dte_tpu.train.optim import make_optimizer
+from calm_vit_dte_tpu.train.state import create_train_state
+from calm_vit_dte_tpu.train.step import make_train_step
+from calm_vit_dte_tpu.utils.configs import get_config
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def _build(mesh, cfg):
+    params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-3, 0.02, epochs=2, steps_per_epoch=4)
+    state = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = jax.jit(make_train_step(cfg.model, tx, "cls",
+                                   dtype=jnp.float32, remat=False))
+    return state, step
+
+
+def test_dp_matches_single_device():
+    cfg = get_config("tiny-cls")
+    rng = np.random.default_rng(0)
+    image = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
+    label = np.asarray(jax.nn.one_hot(rng.integers(0, 10, 8), 10))
+
+    mesh8 = make_mesh(data=8, model=1)
+    state, step = _build(mesh8, cfg)
+    sh = batch_sharding(mesh8)
+    batch = {"image": jax.device_put(image, sh),
+             "label": jax.device_put(label, sh)}
+    state_dp, m_dp = step(state, batch)
+
+    mesh1 = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    state1, step1 = _build(mesh1, cfg)
+    b1 = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
+    state_1, m_1 = step1(state1, b1)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    # updated params identical across strategies
+    for a, b in zip(jax.tree.leaves(state_dp.params),
+                    jax.tree.leaves(state_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+
+
+def test_tp_sharding_rule():
+    mesh = make_mesh(data=4, model=2)
+    cfg = get_config("tiny-cls")
+    params, _ = vit_init(cfg.model, jax.random.PRNGKey(0))
+    shardings = param_shardings(mesh, params, min_shard_dim=64)
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    sharded = [s for _, s in flat if s.spec and s.spec[0] == "model"]
+    assert len(sharded) > 0  # large weights actually TP-shard
+    # placing params under these shardings works
+    placed = jax.device_put(params, shardings)
+    leaf = jax.tree.leaves(placed)[0]
+    assert leaf.sharding.mesh.shape["model"] == 2
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,136 @@
+"""Training-stack tests: schedule parity, losses, step mechanics, checkpoint
+roundtrip, overfit sanity."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from calm_vit_dte_tpu.models.vit import vit_init
+from calm_vit_dte_tpu.train.losses import (
+    dominant_class_accuracy,
+    huber,
+    softmax_cross_entropy,
+)
+from calm_vit_dte_tpu.train.optim import (
+    cosine_per_epoch_schedule,
+    make_optimizer,
+)
+from calm_vit_dte_tpu.train.state import create_train_state
+from calm_vit_dte_tpu.train.step import make_train_step
+from calm_vit_dte_tpu.utils.configs import TINY_VIT, get_config
+
+
+def test_cosine_schedule_matches_torch_formula():
+    # torch CosineAnnealingLR(T_max=65, eta_min=1e-6), stepped per epoch.
+    base, epochs, spe = 3.1e-3, 65, 7
+    sched = cosine_per_epoch_schedule(base, epochs, spe)
+    for step, epoch in [(0, 0), (6, 0), (7, 1), (65 * 7 - 1, 64)]:
+        expected = 1e-6 + (base - 1e-6) * (1 + np.cos(np.pi * epoch /
+                                                      epochs)) / 2
+        np.testing.assert_allclose(float(sched(step)), expected, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(0)), base, rtol=1e-6)
+
+
+def test_ce_matches_torch_semantics():
+    logits = jnp.asarray([[2.0, 1.0, 0.1], [0.3, 0.2, 0.5]])
+    soft = jnp.asarray([[0.7, 0.2, 0.1], [0.0, 1.0, 0.0]])
+    lp = jax.nn.log_softmax(logits)
+    expected = float(-(soft * lp).sum(-1).mean())
+    np.testing.assert_allclose(float(softmax_cross_entropy(logits, soft)),
+                               expected, rtol=1e-6)
+    # int labels == one-hot
+    np.testing.assert_allclose(
+        float(softmax_cross_entropy(logits, jnp.asarray([0, 1]))),
+        float(-(lp[0, 0] + lp[1, 1]) / 2), rtol=1e-6)
+
+
+def test_huber_matches_torch_semantics():
+    pred = jnp.asarray([0.0, 2.0, -3.0])
+    tgt = jnp.asarray([0.5, 0.0, 0.0])
+    # |d|: 0.5 -> quadratic; 2, 3 -> linear
+    expected = np.mean([0.5 * 0.25, 1 * (2 - 0.5), 1 * (3 - 0.5)])
+    np.testing.assert_allclose(float(huber(pred, tgt)), expected, rtol=1e-6)
+
+
+def test_dominant_accuracy():
+    logits = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
+    soft = jnp.asarray([[0.6, 0.4], [0.7, 0.3]])
+    assert float(dominant_class_accuracy(logits, soft)) == 0.5
+
+
+@pytest.fixture(scope="module")
+def tiny_step():
+    cfg = get_config("tiny-cls")
+    params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-3, 0.02, epochs=2, steps_per_epoch=4)
+    state = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(cfg.model, tx, "cls",
+                                   dtype=jnp.float32, remat=False))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.standard_normal((8, 48, 48, 3)), jnp.float32),
+        "label": jax.nn.one_hot(jnp.asarray(rng.integers(0, 10, 8)), 10),
+    }
+    return state, step, batch
+
+
+def test_train_step_decreases_loss(tiny_step):
+    state, step, batch = tiny_step
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    # spectral norm state actually updates during training
+    u0 = None
+
+
+def test_sn_state_updates_in_training(tiny_step):
+    state, step, batch = tiny_step
+    leaf = lambda s: np.asarray(jax.tree.leaves(s.sn_state)[0])
+    before = leaf(state)
+    state2, _ = step(state, batch)
+    after = leaf(state2)
+    assert not np.array_equal(before, after)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_step):
+    from calm_vit_dte_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state, step, batch = tiny_step
+    state2, _ = step(state, batch)
+    save_checkpoint(str(tmp_path / "ckpt"), state2)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), state2)
+    assert restored is not None
+    assert int(restored.step) == int(state2.step)
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume continues identically: one more step from each matches
+    s_a, m_a = step(state2, batch)
+    s_b, m_b = step(restored, batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+
+
+def test_reg_step_runs():
+    cfg = get_config("tiny-reg")
+    params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-3, 0.02, epochs=2, steps_per_epoch=4)
+    state = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(cfg.model, tx, "reg",
+                                   dtype=jnp.float32, remat=False))
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(rng.standard_normal((4, 48, 48, 3)),
+                                  jnp.float32)}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["kl"]))
