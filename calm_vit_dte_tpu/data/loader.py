@@ -57,6 +57,32 @@ class ImageFolderDataset:
                                           Image.BILINEAR)
             return np.asarray(im, dtype=np.uint8), label
 
+    def load_batch(self, idxs) -> tuple[np.ndarray, np.ndarray]:
+        """Batch decode via the native C++ data plane (GIL-free
+        multithreaded JPEG decode + antialiased resize); PIL fallback for
+        images the native path can't handle (PNG, CMYK, truncated)."""
+        import os
+
+        from calm_vit_dte_tpu.data import native
+
+        labels = np.asarray([self.samples[int(i)][1] for i in idxs],
+                            np.int32)
+        # Native decode wins by scaling across cores GIL-free; on a
+        # single-core host Pillow's bundled libjpeg-turbo is faster.
+        use_native = native.available() and (
+            (os.cpu_count() or 1) >= 2
+            or os.environ.get("CALM_NATIVE_DECODE") == "1")
+        if use_native:
+            paths = [self.samples[int(i)][0] for i in idxs]
+            imgs, ok = native.decode_resize_batch(paths, self.size)
+            for j in np.nonzero(~ok)[0]:
+                imgs[j], _ = self.load(int(idxs[j]))
+            return imgs, labels
+        imgs = np.empty((len(idxs), self.size, self.size, 3), np.uint8)
+        for j, i in enumerate(idxs):
+            imgs[j], _ = self.load(int(i))
+        return imgs, labels
+
 
 class SyntheticDataset:
     """Deterministic fake ImageNet: index-seeded uint8 images."""
@@ -118,11 +144,14 @@ class BatchLoader:
                 except queue.Empty:
                     budget.release()
                     return
-                imgs = np.empty((len(idxs), self.dataset.size,
-                                 self.dataset.size, 3), np.uint8)
-                labels = np.empty((len(idxs),), np.int32)
-                for j, idx in enumerate(idxs):
-                    imgs[j], labels[j] = self.dataset.load(int(idx))
+                if hasattr(self.dataset, "load_batch"):
+                    imgs, labels = self.dataset.load_batch(idxs)
+                else:
+                    imgs = np.empty((len(idxs), self.dataset.size,
+                                     self.dataset.size, 3), np.uint8)
+                    labels = np.empty((len(idxs),), np.int32)
+                    for j, idx in enumerate(idxs):
+                        imgs[j], labels[j] = self.dataset.load(int(idx))
                 with lock:
                     results[i] = {"image": imgs, "label": labels}
 

@@ -37,25 +37,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 100 * 1024 * 1024  # v5e/v4 have ~128 MB VMEM per core
+# v5e/v4 have 128 MB VMEM per core; the default *scoped* (stack) limit is
+# 16 MB, so the pallas_calls below raise it explicitly.
+_VMEM_LIMIT = 110 * 1024 * 1024
+_VMEM_BUDGET = 80 * 1024 * 1024
 
 
 def supported(h: int, sq: int, skv: int) -> bool:
     if sq != skv:
         return False
-    # Working set: fp32 scores/logits (H,S,S) x ~3 live copies + mask MLP.
-    est = 4 * (3 * h * sq * skv + 2 * 2 * sq * skv)
+    # Backward working set: ~6 live fp32 (H,S,S) tensors (scores, logits, p,
+    # dp, dlogits, dscores) + bf16 copies + the mask MLP activations.
+    est = 4 * (6 * h * sq * skv + 6 * sq * skv)
     return est <= _VMEM_BUDGET
 
 
+def _erf(x):
+    # Mosaic has no erf/erfc lowering; Abramowitz-Stegun 7.1.26 polynomial,
+    # max abs error 1.5e-7 — exact at bf16/fp32 working precision. Evaluated
+    # in fp32.
+    x32 = x.astype(jnp.float32)
+    sign = jnp.sign(x32)
+    ax = jnp.abs(x32)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return (sign * y).astype(x.dtype)
+
+
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # Exact-form (erf) gelu, matching the reference's approximate='none'.
+    return 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
 
 
 def _dgelu(x):
     # d/dx [x * Phi(x)] = Phi(x) + x * phi(x), exact (erf) gelu.
     phi = jnp.exp(-0.5 * x * x) * (1.0 / math.sqrt(2.0 * math.pi))
-    cdf = 0.5 * (1.0 + jax.lax.erf(x * (1.0 / math.sqrt(2.0))))
+    cdf = 0.5 * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
     return cdf + x * phi
 
 
@@ -67,11 +86,13 @@ def _scores(q, k):
 
 
 def _mask_fwd(ssum, w1, b1, w2, b2, dtype):
+    # Mosaic requires 32-bit matmul accumulators; inputs stay in `dtype`
+    # (bf16 on the fast path), accumulation and the nonlinearity in fp32.
     h1 = jnp.dot(ssum.astype(dtype), w1.T.astype(dtype),
-                 preferred_element_type=dtype) + b1.astype(dtype)
+                 preferred_element_type=jnp.float32) + b1
     a = _gelu(h1)
-    m = jnp.dot(a, w2.T.astype(dtype),
-                preferred_element_type=dtype) + b2.astype(dtype)
+    m = jnp.dot(a.astype(dtype), w2.T.astype(dtype),
+                preferred_element_type=jnp.float32) + b2
     return m, h1, a
 
 
@@ -88,9 +109,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                             b2_ref[:], dtype)
         logits = logits + m.astype(jnp.float32)[None]
     p = jax.nn.softmax(logits, axis=-1)
-    o_ref[0] = jax.lax.dot_general(
+    out = jax.lax.dot_general(
         p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=dtype)
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
@@ -124,7 +146,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
 
     # dv[h] = p[h]^T @ g[h]
     dv_ref[0] = jax.lax.dot_general(
-        pc, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=dtype)
+        pc, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dtype)
     # dp[h] = g[h] @ v[h]^T
     dp = jax.lax.dot_general(
         g, v, (((2,), (2,)), ((0,), (0,))),
@@ -135,17 +158,19 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
     dscores = dlogits * scale
     if use_mask:
         dm = jnp.sum(dlogits, axis=0).astype(dtype)  # (S,S)
+        a = a.astype(dtype)
         # m = a @ w2^T + b2
-        da = jnp.dot(dm, w2.astype(dtype), preferred_element_type=dtype)
+        da = jnp.dot(dm, w2.astype(dtype),
+                     preferred_element_type=jnp.float32)
         dw2 = jax.lax.dot_general(
             dm, a, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (S, 2S)
         db2 = jnp.sum(dm, axis=0, keepdims=True).astype(jnp.float32)
-        dh1 = da * _dgelu(h1)
+        dh1 = (da * _dgelu(h1)).astype(dtype)
         dw1 = jax.lax.dot_general(
             dh1, ssum.astype(dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (2S, S)
-        db1 = jnp.sum(dh1, axis=0, keepdims=True).astype(jnp.float32)
+        db1 = jnp.sum(dh1.astype(jnp.float32), axis=0, keepdims=True)
         dssum = jnp.dot(dh1, w1.astype(dtype),
                         preferred_element_type=jnp.float32)  # (S,S)
         dscores = dscores + dssum[None]
@@ -158,9 +183,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
     ds = dscores.astype(dtype)
     # dq[h] = ds[h] @ k[h]; dk[h] = ds[h]^T @ q[h]
     dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype)
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dtype)
     dk_ref[0] = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=dtype)
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dtype)
 
 
 def _batch_specs(b, h, s, d, dv):
@@ -193,6 +220,7 @@ def _make_fused(scale: float, dtype_name: str, use_mask: bool,
             flops=2 * b * h * s * s * (d + dv) + 4 * b * s * s * s2,
             bytes_accessed=4 * b * h * s * (2 * d + 2 * dv),
             transcendentals=b * h * s * s + b * s * s2),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 
@@ -217,6 +245,7 @@ def _make_fused(scale: float, dtype_name: str, use_mask: bool,
             flops=6 * b * h * s * s * (d + dv) + 12 * b * s * s * s2,
             bytes_accessed=12 * b * h * s * (d + dv),
             transcendentals=b * h * s * s + b * s * s2),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 

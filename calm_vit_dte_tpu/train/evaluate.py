@@ -1,0 +1,99 @@
+"""Top-1 evaluation over the validation split.
+
+Reference: the eval branch of CALM_ViT_V2.py:227-240 (which unpacks the
+model's (logits, kl) tuple incorrectly at :235 — fixed here), distributed
+across the mesh.
+
+    python -m calm_vit_dte_tpu.train.evaluate --config imagenet-cls-224
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from calm_vit_dte_tpu.data.loader import BatchLoader
+from calm_vit_dte_tpu.data.pipeline import make_eval_preprocess
+from calm_vit_dte_tpu.data.sampler import ShardedSampler
+from calm_vit_dte_tpu.models.vit import vit_apply, vit_init
+from calm_vit_dte_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from calm_vit_dte_tpu.train.checkpoint import restore_checkpoint
+from calm_vit_dte_tpu.train.optim import make_optimizer
+from calm_vit_dte_tpu.train.state import create_train_state
+from calm_vit_dte_tpu.train.trainer import build_dataset, maybe_init_distributed
+from calm_vit_dte_tpu.utils.configs import TrainConfig, get_config
+from calm_vit_dte_tpu.utils.logging import is_chief
+
+
+def evaluate(cfg: TrainConfig, max_batches: int | None = None,
+             mesh=None) -> float:
+    maybe_init_distributed()
+    mesh = mesh if mesh is not None else make_mesh()
+
+    params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(cfg.init_seed))
+    tx = make_optimizer(cfg.lr, epochs=cfg.epochs, steps_per_epoch=1)
+    state = create_train_state(params, sn_state, tx,
+                               jax.random.PRNGKey(cfg.init_seed + 1))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    restored = restore_checkpoint(cfg.checkpoint_dir, state)
+    if restored is not None:
+        state = restored
+        if is_chief():
+            print(f"evaluating checkpoint at step {int(state.step)}",
+                  flush=True)
+    elif is_chief():
+        print("no checkpoint found; evaluating fresh init", flush=True)
+
+    pre = make_eval_preprocess(cfg.crop)
+
+    def eval_step(params, sn_state, batch):
+        b = pre(batch)
+        logits, _, _ = vit_apply(cfg.model, params, sn_state, b["image"],
+                                 training=False, dtype=jnp.bfloat16)
+        pred = jnp.argmax(logits, axis=-1)
+        return jnp.sum((pred == b["label"]).astype(jnp.int32))
+
+    jit_eval = jax.jit(eval_step)
+
+    dataset = build_dataset(cfg, split="val")
+    per_host = cfg.global_batch_size // jax.process_count()
+    sampler = ShardedSampler(len(dataset), jax.process_count(),
+                             jax.process_index(), shuffle=False)
+    loader = BatchLoader(dataset, sampler, per_host,
+                         num_workers=cfg.num_workers)
+    sh = batch_sharding(mesh)
+    correct = total = 0
+    for i, host_batch in enumerate(loader):
+        batch = {k: jax.make_array_from_process_local_data(sh, v)
+                 for k, v in host_batch.items()}
+        correct += int(jax.device_get(jit_eval(state.params, state.sn_state,
+                                               batch)))
+        total += batch["label"].shape[0]
+        if is_chief() and i % 10 == 0:
+            print(f"Batch {i}, Accuracy: {correct / max(total, 1) * 100}%",
+                  flush=True)
+        if max_batches is not None and i + 1 >= max_batches:
+            break
+    acc = correct / max(total, 1)
+    if is_chief():
+        print(f"top-1 accuracy: {acc * 100:.2f}% over {total} images",
+              flush=True)
+    return acc
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="imagenet-cls-224")
+    ap.add_argument("--max-batches", type=int, default=None)
+    args = ap.parse_args()
+    evaluate(get_config(args.config), max_batches=args.max_batches)
+
+
+if __name__ == "__main__":
+    main()
