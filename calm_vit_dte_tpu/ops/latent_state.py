@@ -16,8 +16,14 @@ Combine modes (reference: :31-47):
   "lp"   momentum = count / (count + 1), later layers weighted more,
   other  static momentum.
 
-All four layers feeding one manager share shapes by construction: the reduce
-path always lands in (B, seq_len_reduce, mean_var_hidden) space.
+All cross layers feeding one manager share shapes by construction: the
+reduce path always lands in (B, seq_len_reduce, mean_var_hidden) space.
+The encoder/decoder managers created under force_reduce do NOT — their
+latents keep each block's own sequence length, and the reference crashes on
+the shape-mismatched add (verified: RuntimeError "size of tensor a (48) must
+match b (36)"). Fixed here, preserving intent: the running combination
+restarts whenever the latent shape changes, while the KL sum (a scalar, the
+training-relevant output) keeps accumulating across every layer.
 """
 
 from __future__ import annotations
@@ -35,7 +41,8 @@ class LatentState:
         self.zq_sum: jax.Array | None = None
         self.zkv_sum: jax.Array | None = None
         self.kl_sum: jax.Array | float = 0.0
-        self.count: int = 0
+        self.count: int = 0      # combine count (resets on shape change)
+        self.kl_count: int = 0   # total updates (KL divisor)
 
     def update(self, zq, zkv, mean_q, var_q, mean_kv, var_kv):
         """Accumulate one layer's latents; returns the combined (zq, zkv)."""
@@ -43,7 +50,8 @@ class LatentState:
 
         self.kl_sum = (kl_divergence(mean_q, var_q)
                        + kl_divergence(mean_kv, var_kv) + self.kl_sum)
-        if self.zq_sum is None:
+        self.kl_count += 1
+        if self.zq_sum is None or self.zq_sum.shape != zq.shape:
             self.zq_sum = zq
             self.zkv_sum = zkv
             self.count = 1
@@ -65,6 +73,6 @@ class LatentState:
         return self.zq_sum, self.zkv_sum
 
     def kl_loss(self) -> jax.Array:
-        if self.count == 0:
+        if self.kl_count == 0:
             return jnp.zeros((), jnp.float32)
-        return jnp.asarray(self.kl_sum, jnp.float32) / self.count
+        return jnp.asarray(self.kl_sum, jnp.float32) / self.kl_count

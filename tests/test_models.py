@@ -40,9 +40,10 @@ def test_axial_transpose_involution():
 def test_vmla_rejects_odd_rope_dim():
     # The reference Encoder_8 defaults crash this way at runtime; we reject
     # at construction (SURVEY.md s2a).
-    cfg = VMLAConfig(heads=12, dim1=600, dim2=600, mean_var_hidden=192,
-                     seq_length=200, seq_len_reduce=96, seq_len_new=200,
-                     mlp_dim=1200)
+    # A stepped (reduce=True) layer with dim2=600: head_dim_rope = 25, odd.
+    cfg = VMLAConfig(heads=12, dim1=672, dim2=600, mean_var_hidden=192,
+                     seq_length=224, seq_len_reduce=96, seq_len_new=200,
+                     mlp_dim=1200, is_cross=True)
     with pytest.raises(ValueError, match="RoPE"):
         cfg.validate()
 
