@@ -33,11 +33,19 @@ def cosine_per_epoch_schedule(base_lr: float, epochs: int,
 def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
                    b1: float = 0.9, b2: float = 0.98, epochs: int = 65,
                    steps_per_epoch: int = 1000, clip_norm: float = 1.0,
-                   eta_min: float = 1e-6) -> optax.GradientTransformation:
+                   eta_min: float = 1e-6,
+                   skip_nonfinite: bool = True,
+                   ) -> optax.GradientTransformation:
+    """skip_nonfinite reproduces torch GradScaler's step-skipping on inf/nan
+    gradients (the only thing the scaler actually did under bf16; reference:
+    distributed_trainer_cls.py:87-94)."""
     schedule = cosine_per_epoch_schedule(base_lr, epochs, steps_per_epoch,
                                          eta_min)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(learning_rate=schedule, b1=b1, b2=b2, eps=1e-8,
                     weight_decay=weight_decay),
     )
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
