@@ -93,6 +93,8 @@ def main() -> None:
             ips, p50, loss = measure(bs)
             break
         except Exception as e:  # OOM or compile failure: shrink
+            print(f"batch {bs} failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr, flush=True)
             last_err = e
             continue
     else:

@@ -59,11 +59,12 @@ def attention_impl(impl: str, chunk: int | None = None):
         _STATE.update(prev)
 
 
-def _pick_impl(b: int, h: int, sq: int, skv: int) -> tuple[str, int]:
+def _pick_impl(b: int, h: int, sq: int, skv: int,
+               d: int) -> tuple[str, int]:
     impl = _STATE["impl"]
     chunk = _STATE["chunk"]
     if impl == "auto":
-        if _pallas_supported(b, h, sq, skv):
+        if _pallas_supported(b, h, sq, skv, d):
             impl = "pallas"
         elif b * h * sq * skv * 4 > _AUTO_SCORE_BUDGET:
             impl = "chunked"
@@ -77,12 +78,12 @@ def _pick_impl(b: int, h: int, sq: int, skv: int) -> tuple[str, int]:
     return impl, chunk
 
 
-def _pallas_supported(b: int, h: int, sq: int, skv: int) -> bool:
+def _pallas_supported(b: int, h: int, sq: int, skv: int, d: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     from calm_vit_dte_tpu.kernels import axial_attention as ka
 
-    return ka.supported(h, sq, skv)
+    return ka.supported(h, sq, skv, d)
 
 
 def _attention_core(q, k, v, w1, b1, w2, b2, *, scale: float, dtype,
@@ -131,7 +132,9 @@ def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         b2 = mask_params["fc2"]["b"]
         new_mask_state = {"fc1": st1, "fc2": st2}
 
-    impl, chunk = _pick_impl(b, h, sq, skv)
+    from jax.ad_checkpoint import checkpoint_name
+
+    impl, chunk = _pick_impl(b, h, sq, skv, q.shape[-1])
     if impl == "pallas":
         from calm_vit_dte_tpu.kernels.axial_attention import (
             fused_masked_attention,
@@ -156,4 +159,8 @@ def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     else:
         out = _attention_core(q, k, v, w1, b1, w2, b2, scale=scale,
                               dtype=dtype, use_mask=use_mask)
+    # Named so the remat policy can SAVE attention outputs: backward then
+    # re-runs only the cheap elementwise/linear parts, not the 24 fused
+    # attention kernels (train/step.py remat policy).
+    out = checkpoint_name(out, "attn_out")
     return out, new_mask_state

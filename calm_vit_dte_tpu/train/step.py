@@ -52,8 +52,14 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
 
     if remat:
         # Rematerialize the forward during backprop: trades MXU FLOPs for
-        # HBM, letting the big per-chip batches (484/456) fit.
-        apply_fn = jax.checkpoint(_train_apply)
+        # HBM, letting the big per-chip batches (484/456) fit. Attention
+        # outputs are SAVED (checkpoint_name in ops/attention.py), so the
+        # backward never re-runs the fused attention kernels — only the
+        # cheap linear/elementwise chain recomputes.
+        apply_fn = jax.checkpoint(
+            _train_apply,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out"))
     else:
         apply_fn = _train_apply
 
