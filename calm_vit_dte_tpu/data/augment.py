@@ -61,17 +61,16 @@ def _adjust_hue(img: jax.Array, delta: jax.Array) -> jax.Array:
     h = (h / 6.0) % 1.0
     h = jnp.where(c == 0, 0.0, h)
     h = (h + delta) % 1.0
-    # HSV -> RGB
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r2 = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g2 = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b2 = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r2, g2, b2], axis=-1)
+    # Branchless HSV -> RGB: f(n) = v - c*clip(min(k, 4-k), 0, 1) with
+    # k = (n + 6h) mod 6. (jnp.choose lowers to a gather that cost ~100 ms
+    # per channel per step on TPU — measured; this is pure VPU math.)
+    cc = s * v
+
+    def comp(n):
+        kk = (n + h * 6.0) % 6.0
+        return v - cc * jnp.clip(jnp.minimum(kk, 4.0 - kk), 0.0, 1.0)
+
+    return jnp.stack([comp(5.0), comp(3.0), comp(1.0)], axis=-1)
 
 
 def _gaussian_blur3(img: jax.Array, sigma: jax.Array) -> jax.Array:

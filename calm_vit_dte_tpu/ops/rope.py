@@ -47,8 +47,16 @@ def rope_tables(params: dict, seq_len: int) -> tuple[jax.Array, jax.Array]:
     return jnp.cos(emb), jnp.sin(emb)
 
 
-def rope_apply(params: dict, x: jax.Array) -> jax.Array:
-    """x: (..., seq, dim) with seq on axis -2. Returns fp32."""
+def rope_apply(params: dict, x: jax.Array, dtype=None) -> jax.Array:
+    """x: (..., seq, dim) with seq on axis -2.
+
+    Tables are always built in fp32 from the learned frequencies; the
+    rotation itself runs in `dtype` (default fp32 — the torch-parity
+    setting). Under bf16 training the rotation runs in bf16: values are
+    bounded by |x| so the precision loss is one bf16 ulp, and the (B,H,S,D)
+    elementwise chain (the dominant non-matmul cost at batch 128, measured
+    ~120 ms/step in fp32) halves its HBM traffic."""
+    dtype = dtype or jnp.float32
     cos, sin = rope_tables(params, x.shape[-2])
-    x32 = x.astype(jnp.float32)
-    return x32 * cos + _rotate_half(x32) * sin
+    xc = x.astype(dtype)
+    return xc * cos.astype(dtype) + _rotate_half(xc) * sin.astype(dtype)
