@@ -19,12 +19,33 @@ u/v as fp32 buffers and the master weight in fp32 under autocast).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 
 from calm_vit_dte_tpu.nn import init as vinit
 
 _EPS = 1e-12
+_PRENORMALIZED = {"on": False}
+
+
+@contextmanager
+def prenormalized_scope():
+    """Inside this scope every spectral_normalize call is a no-op: the param
+    tree was already normalized by normalize_tree(). The train step hoists
+    normalization OUT of the (rematerialized) model graph — power iteration
+    depends only on the weights, so running it per-layer inside the forward
+    (as torch's hook does) re-executes ~150 tiny matvec chains in the
+    backward replay and threads ~300 small state tensors through every remat
+    segment (measured: ~80 ms/step of sub-64K fusions + ~50 ms of tiny
+    copies at batch 128)."""
+    prev = _PRENORMALIZED["on"]
+    _PRENORMALIZED["on"] = True
+    try:
+        yield
+    finally:
+        _PRENORMALIZED["on"] = prev
 
 
 def sn_state_init(key: jax.Array, out_dim: int, in_dim: int) -> dict:
@@ -50,6 +71,8 @@ def power_iteration(w_mat: jax.Array, u: jax.Array, v: jax.Array):
 def spectral_normalize(w: jax.Array, state: dict, *, training: bool):
     """Return (w / sigma, new_state). `w` may be any rank; the 2-D view is
     (w.shape[0], -1), matching torch's dim=0 reshape for Linear and Conv2d."""
+    if _PRENORMALIZED["on"]:
+        return w, state
     w32 = w.astype(jnp.float32)
     w_mat = w32.reshape(w32.shape[0], -1)
     u, v = state["u"], state["v"]
@@ -60,3 +83,25 @@ def spectral_normalize(w: jax.Array, state: dict, *, training: bool):
     sigma = jnp.dot(u, w_mat @ v)
     w_norm = (w32 / sigma).astype(w.dtype)
     return w_norm, {"u": u, "v": v}
+
+
+def normalize_tree(params, sn_state, *, training: bool):
+    """Normalize every spectral-normed weight in one pre-pass.
+
+    The sn_state tree mirrors the params tree: wherever a state node holds
+    {'u','v'}, the matching params node holds the raw weight 'w'. Returns
+    (params with every such 'w' replaced by w/sigma, updated sn_state).
+    Run the model inside prenormalized_scope() afterwards.
+    """
+    if isinstance(sn_state, dict) and "u" in sn_state and "v" in sn_state:
+        w_norm, new_state = spectral_normalize(params["w"], sn_state,
+                                               training=training)
+        new_params = dict(params)
+        new_params["w"] = w_norm
+        return new_params, new_state
+    new_params = dict(params)
+    new_state = {}
+    for key, sub in sn_state.items():
+        new_params[key], new_state[key] = normalize_tree(
+            params[key], sub, training=training)
+    return new_params, new_state

@@ -27,6 +27,10 @@ import jax.numpy as jnp
 import optax
 
 from calm_vit_dte_tpu.models.vit import ViTConfig, vit_apply
+from calm_vit_dte_tpu.nn.spectral_norm import (
+    normalize_tree,
+    prenormalized_scope,
+)
 from calm_vit_dte_tpu.train.losses import (
     dominant_class_accuracy,
     reconstruction_loss,
@@ -70,8 +74,15 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
             batch = preprocess(data_rng, batch)
 
         def loss_fn(params):
-            out, kl, new_sn = apply_fn(params, state.sn_state,
-                                       batch["image"], step_rng)
+            # Hoist spectral normalization out of the (rematerialized) model
+            # graph: one batched pre-pass over the weights instead of ~150
+            # per-layer chains replayed in the backward (bit-identical;
+            # measured ~130 ms/step of tiny fusions + copies at batch 128).
+            norm_params, new_sn = normalize_tree(params, state.sn_state,
+                                                 training=True)
+            with prenormalized_scope():
+                out, kl, _ = apply_fn(norm_params, state.sn_state,
+                                      batch["image"], step_rng)
             if task == "cls":
                 loss = softmax_cross_entropy(out, batch["label"])
                 metrics = {
@@ -104,8 +115,12 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
 def make_eval_step(cfg: ViTConfig, task: str,
                    dtype=jnp.bfloat16) -> Callable:
     def eval_step(state: TrainState, batch: dict[str, Any]):
-        out, kl, _ = vit_apply(cfg, state.params, state.sn_state,
-                               batch["image"], training=False, dtype=dtype)
+        norm_params, _ = normalize_tree(state.params, state.sn_state,
+                                        training=False)
+        with prenormalized_scope():
+            out, kl, _ = vit_apply(cfg, norm_params, state.sn_state,
+                                   batch["image"], training=False,
+                                   dtype=dtype)
         if task == "cls":
             pred = jnp.argmax(out, axis=-1)
             correct = jnp.sum((pred == batch["label"]).astype(jnp.int32))

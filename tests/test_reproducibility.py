@@ -58,3 +58,32 @@ def test_bf16_forward_finite():
     assert y.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(y, np.float32)).all()
     assert np.isfinite(float(kl))
+
+
+def test_hoisted_spectral_norm_bit_identical():
+    """normalize_tree + prenormalized_scope (the train-step fast path) must
+    match in-model spectral norm exactly, including the u/v updates."""
+    from calm_vit_dte_tpu.nn.spectral_norm import (
+        normalize_tree,
+        prenormalized_scope,
+    )
+
+    cfg = TINY_VIT
+    params, state = vit_init(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 48, 3))
+    r = jax.random.PRNGKey(2)
+    y1, kl1, st1 = jax.jit(
+        lambda p, s, x, r: vit_apply(cfg, p, s, x, training=True, rng=r))(
+        params, state, x, r)
+
+    def hoisted(p, s, x, r):
+        np_, ns = normalize_tree(p, s, training=True)
+        with prenormalized_scope():
+            y, kl, _ = vit_apply(cfg, np_, s, x, training=True, rng=r)
+        return y, kl, ns
+
+    y2, kl2, st2 = jax.jit(hoisted)(params, state, x, r)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(float(kl1), float(kl2))
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
