@@ -53,9 +53,17 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
     pre = make_eval_preprocess(cfg.crop)
 
     def eval_step(params, sn_state, batch):
+        from calm_vit_dte_tpu.nn.spectral_norm import (
+            normalize_tree,
+            prenormalized_scope,
+        )
+
         b = pre(batch)
-        logits, _, _ = vit_apply(cfg.model, params, sn_state, b["image"],
-                                 training=False, dtype=jnp.bfloat16)
+        norm_params, _ = normalize_tree(params, sn_state, training=False)
+        with prenormalized_scope():
+            logits, _, _ = vit_apply(cfg.model, norm_params, sn_state,
+                                     b["image"], training=False,
+                                     dtype=jnp.bfloat16)
         pred = jnp.argmax(logits, axis=-1)
         return jnp.sum((pred == b["label"]).astype(jnp.int32))
 

@@ -79,3 +79,82 @@ def test_chunked_equals_whole_batch():
                                   training=False, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-6)
+
+
+class TestConvResidual:
+    def _setup(self, b=2, s=32, seed=0):
+        import jax
+        import jax.numpy as jnp
+
+        ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+        x = jax.random.normal(ks[0], (b, s, s, 3))
+        w1 = jax.random.normal(ks[1], (32, 3)) * 0.3
+        b1 = jax.random.normal(ks[2], (32,)) * 0.1
+        wd = jax.random.normal(ks[3], (3, 3, 32)) * 0.3
+        bd = jax.random.normal(ks[4], (32,)) * 0.1
+        w2 = jax.random.normal(ks[5], (3, 32)) * 0.2
+        b2 = jax.random.normal(ks[6], (3,)) * 0.1
+        return x, w1, b1, wd, bd, w2, b2
+
+    @staticmethod
+    def _oracle(x, w1, b1, wd, bd, w2, b2):
+        """lax.conv reference of the same chain."""
+        import jax
+        import jax.numpy as jnp
+
+        def conv(x, w_hwio, b):
+            return jax.lax.conv_general_dilated(
+                x, w_hwio, (1, 1), "SAME",
+                feature_group_count=w_hwio.shape[2] == 1 and w_hwio.shape[3]
+                or 1,
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+        h = jax.lax.conv_general_dilated(
+            x, w1.T.reshape(1, 1, 3, 32), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
+        h = jax.nn.gelu(h, approximate=False)
+        h = jax.lax.conv_general_dilated(
+            h, wd.reshape(3, 3, 1, 32), (1, 1), "SAME",
+            feature_group_count=32,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bd
+        h = jax.nn.gelu(h, approximate=False)
+        return jax.lax.conv_general_dilated(
+            h, w2.T.reshape(1, 1, 32, 3), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
+
+    def test_forward_matches_lax_conv(self):
+        import jax.numpy as jnp
+
+        from calm_vit_dte_tpu.kernels.conv_residual import (
+            fused_conv_residual,
+        )
+
+        args = self._setup()
+        ref = self._oracle(*args)
+        out = fused_conv_residual(*args, dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_backward_matches_lax_conv(self):
+        import jax.numpy as jnp
+
+        from calm_vit_dte_tpu.kernels.conv_residual import (
+            fused_conv_residual,
+        )
+
+        args = self._setup()
+
+        def loss_ref(a):
+            return jnp.sum(jnp.sin(self._oracle(*a)))
+
+        def loss_fused(a):
+            return jnp.sum(jnp.sin(fused_conv_residual(
+                *a, dtype=jnp.float32, interpret=True)))
+
+        g_ref = jax.grad(loss_ref)(args)
+        g_fused = jax.grad(loss_fused)(args)
+        for name, a, b in zip("x w1 b1 wd bd w2 b2".split(), g_ref,
+                              g_fused):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad mismatch for {name}")
