@@ -45,6 +45,17 @@ def _pick_bt(b: int, s: int) -> int | None:
 
 
 def supported(b: int, s: int) -> bool:
+    # DISABLED on the training path for now: the backward kernel's real
+    # Mosaic scoped-VMEM allocation is ~40x the analytic live set (114 MB at
+    # Bt=1/S=128 — all 18 of the 9-tap loop temporaries materialize
+    # concurrently) and single-kernel compiles run minutes. The fused win is
+    # ~20 ms of a 314 ms step; revisit with spatial tiling + an
+    # accumulator-restructured backward. Forward-only use and the interpret
+    # tests remain valid.
+    return False
+
+
+def _supported_ungated(b: int, s: int) -> bool:
     return _pick_bt(b, s) is not None
 
 
