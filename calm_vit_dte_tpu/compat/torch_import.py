@@ -26,7 +26,7 @@ actually used.
 
 from __future__ import annotations
 
-import re
+
 
 import jax.numpy as jnp
 import numpy as np

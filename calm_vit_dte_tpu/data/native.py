@@ -13,7 +13,7 @@ uses pure PIL — functionality identical, just slower).
 from __future__ import annotations
 
 import ctypes
-import os
+
 import pathlib
 import subprocess
 

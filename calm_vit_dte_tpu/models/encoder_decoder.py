@@ -22,7 +22,7 @@ shared cross latent state), clearly marked as completing the reference's WIP.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import os
 
 import jax
 
-from calm_vit_dte_tpu.models.vit import ViTConfig, vit_init
+from calm_vit_dte_tpu.models.vit import vit_init
 from calm_vit_dte_tpu.utils.configs import get_config
 
 

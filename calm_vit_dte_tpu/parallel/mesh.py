@@ -21,7 +21,7 @@ s2e).
 from __future__ import annotations
 
 import jax
-import numpy as np
+
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -19,7 +19,7 @@ CUDA RNG state was lost on restart).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable
 
 import jax

@@ -23,7 +23,7 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from calm_vit_dte_tpu.data.loader import (
     BatchLoader,

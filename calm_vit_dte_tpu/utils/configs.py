@@ -7,7 +7,7 @@ site it reproduces. BASELINE.json's five target configs all appear.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from calm_vit_dte_tpu.models.vit import ViTConfig
 
