@@ -10,12 +10,12 @@ import sys
 import numpy as np
 import pytest
 
-RUN = os.environ.get("CALM_FULL_PARITY") == "1"
+SKIP = os.environ.get("CALM_FULL_PARITY") == "0"
 HAVE_REF = os.path.isdir("/root/reference/CALM-ViT")
 
 pytestmark = pytest.mark.skipif(
-    not (RUN and HAVE_REF),
-    reason="set CALM_FULL_PARITY=1 (and mount /root/reference) to run")
+    SKIP or not HAVE_REF,
+    reason="reference not mounted (or CALM_FULL_PARITY=0)")
 
 
 def test_full_224_cls_parity():
