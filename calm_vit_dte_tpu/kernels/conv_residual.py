@@ -34,7 +34,9 @@ _TILE_BUDGET = 48 * 1024 * 1024
 
 
 def _pick_bt(b: int, s: int) -> int | None:
-    for bt in (8, 4, 2, 1):
+    # bt capped at 2: bt=4 at S=80 crashed the axon remote compile helper
+    # (empirical sweep; bt<=2 compiles and runs).
+    for bt in (2, 1):
         if b % bt:
             continue
         # ~4 live (Bt,S+2,S+2,32) fp32-ish copies, x3 Mosaic slack.
@@ -45,14 +47,12 @@ def _pick_bt(b: int, s: int) -> int | None:
 
 
 def supported(b: int, s: int) -> bool:
-    # DISABLED on the training path for now: the backward kernel's real
-    # Mosaic scoped-VMEM allocation is ~40x the analytic live set (114 MB at
-    # Bt=1/S=128 — all 18 of the 9-tap loop temporaries materialize
-    # concurrently) and single-kernel compiles run minutes. The fused win is
-    # ~20 ms of a 314 ms step; revisit with spatial tiling + an
-    # accumulator-restructured backward. Forward-only use and the interpret
-    # tests remain valid.
-    return False
+    # Empirically validated envelope on v5e (2026-08): S<=128 compiles and
+    # matches the oracle; S=176 crashes the axon remote compile helper
+    # (HTTP 500) even at Bt=1, S=224 exceeds the VMEM budget. The scratch-
+    # accumulator rewrite already cut compile from 283s to 29s — revisit
+    # larger S with spatial tiling.
+    return s <= 128 and _pick_bt(b, s) is not None
 
 
 def _supported_ungated(b: int, s: int) -> bool:
@@ -79,46 +79,61 @@ def _dgelu(x):
     return cdf + x * phi
 
 
-def _dw3x3(h, w):
-    """Depthwise 3x3, zero padding. h: (Bt,S,S,C); w: (3,3,C) fp32."""
+def _dw3x3_into(acc_ref, h, w, *, flip: bool = False):
+    """Depthwise 3x3 with zero padding, accumulated INTO a VMEM scratch ref.
+
+    Static slices (Mosaic has no dynamic_slice lowering) but sequential
+    ref accumulation: an SSA sum of 9 products keeps every tap's buffer
+    live simultaneously — Mosaic's scoped VMEM blew up to 114 MB at
+    Bt=1/S=128 that way. flip=True gives the transposed (correlation)
+    taps for the backward."""
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     s = h.shape[1]
-    acc = jnp.zeros(h.shape, jnp.float32)
+    first = True
     for a in range(3):
         for b in range(3):
-            acc += hp[:, a:a + s, b:b + s, :].astype(jnp.float32) * w[a, b]
-    return acc
+            sa, sb = (2 - a, 2 - b) if flip else (a, b)
+            prod = (hp[:, sa:sa + s, sb:sb + s, :].astype(jnp.float32)
+                    * w[a, b])
+            if first:
+                acc_ref[:] = prod
+                first = False
+            else:
+                acc_ref[:] += prod
 
 
 def _conv1x1(x, w, b, out_c):
-    """x: (...,Cin) x w: (Cout,Cin) -> (...,Cout), unrolled on the VPU
-    (Cin<=32: an MXU matmul would pad K to 128 for nothing)."""
-    acc = jnp.zeros(x.shape[:-1] + (out_c,), jnp.float32)
-    for c in range(x.shape[-1]):
-        acc += x[..., c:c + 1].astype(jnp.float32) * w[:, c]
-    return acc + b
+    """x: (...,Cin) x w: (Cout,Cin) -> (...,Cout). One pixel-flattened
+    matmul: K<=32 wastes MXU lanes but the FLOPs are trivial, and a
+    channel-unrolled VPU version keeps Cin product buffers live."""
+    flat = x.reshape(-1, x.shape[-1])
+    y = jnp.dot(flat, w.T.astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    return y.reshape(x.shape[:-1] + (out_c,)) + b
 
 
-def _fwd_parts(x, w1, b1, wd, bd, w2, b2, dtype):
+def _fwd_parts(x, w1, b1, wd, bd, w2, b2, dtype, acc_ref):
     a1 = _conv1x1(x, w1, b1, HIDDEN)            # (Bt,S,S,32) fp32
     h = _gelu(a1).astype(dtype)
-    a2 = _dw3x3(h, wd) + bd
+    _dw3x3_into(acc_ref, h, wd)
+    a2 = acc_ref[:] + bd
     d = _gelu(a2).astype(dtype)
     y = _conv1x1(d, w2, b2, 3)
     return a1, h, a2, d, y
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
-                y_ref, *, dtype):
+                y_ref, acc_ref, *, dtype):
     x = x_ref[:].astype(dtype)
     _, _, _, _, y = _fwd_parts(x, w1_ref[:], b1_ref[:], wd_ref[:],
-                               bd_ref[:], w2_ref[:], b2_ref[:], dtype)
+                               bd_ref[:], w2_ref[:], b2_ref[:], dtype,
+                               acc_ref)
     y_ref[:] = y.astype(dtype)
 
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
                 g_ref, dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref,
-                dw2_ref, db2_ref, *, dtype):
+                dw2_ref, db2_ref, acc_ref, acc2_ref, *, dtype):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -135,13 +150,12 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
     wd = wd_ref[:]
     w2 = w2_ref[:]
     a1, h, a2, d, _ = _fwd_parts(x, w1, b1_ref[:], wd, bd_ref[:], w2,
-                                 b2_ref[:], dtype)
+                                 b2_ref[:], dtype, acc_ref)
     g = g_ref[:].astype(jnp.float32)  # (Bt,S,S,3)
 
-    # y = d @ w2^T + b2  (per-pixel):  dd[k] = sum_c g[c] w2[c,k]
-    dd = jnp.zeros(d.shape, jnp.float32)
-    for c in range(3):
-        dd += g[..., c:c + 1] * w2[c, :]
+    # y = d @ w2^T + b2  (per-pixel):  dd = g @ w2
+    dd = jnp.dot(g.reshape(-1, 3).astype(dtype), w2.astype(dtype),
+                 preferred_element_type=jnp.float32).reshape(d.shape)
     gd = g.astype(dtype)
     dc = d.astype(dtype)
     # dw2[c,k] = sum_pixels g[c] * d[k]
@@ -154,19 +168,17 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
 
     da2 = dd * _dgelu(a2)
     dbd_ref[:] += jnp.sum(da2, axis=(0, 1, 2)).reshape(1, HIDDEN)
-    # dwd[a,b,k] = sum da2[i,j,k] * h[i+a-1, j+b-1, k]
+    # dwd[a,b,k] = sum da2[i,j,k] * h[i+a-1, j+b-1, k]: static taps,
+    # accumulated straight into the grid-accumulated output ref.
     s = x.shape[1]
     hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     for a in range(3):
         for b in range(3):
             prod = da2 * hp[:, a:a + s, b:b + s, :].astype(jnp.float32)
             dwd_ref[a, b, :] += jnp.sum(prod, axis=(0, 1, 2))
-    # dh = transposed depthwise conv: correlate da2 with flipped taps.
-    dp = jnp.pad(da2, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dh = jnp.zeros(h.shape, jnp.float32)
-    for a in range(3):
-        for b in range(3):
-            dh += dp[:, 2 - a:2 - a + s, 2 - b:2 - b + s, :] * wd[a, b]
+    # dh = transposed depthwise conv (flipped taps), into scratch.
+    _dw3x3_into(acc2_ref, da2.astype(dtype), wd, flip=True)
+    dh = acc2_ref[:]
 
     da1 = dh * _dgelu(a1)
     db1_ref[:] += jnp.sum(da1, axis=(0, 1, 2)).reshape(1, HIDDEN)
@@ -175,13 +187,10 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
     dw1_ref[:] += jax.lax.dot_general(
         da1c.reshape(-1, HIDDEN), x.reshape(-1, 3),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    # dx[c] = sum_k da1[k] w1[k,c]
-    dx = jnp.zeros(x.shape, jnp.float32)
-    for k in range(0, HIDDEN, 8):  # unroll in chunks to bound op count
-        dx += jax.lax.dot_general(
-            da1c[..., k:k + 8], w1[k:k + 8, :].astype(dtype),
-            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dx_ref[:] = dx.astype(dtype)
+    # dx = da1 @ w1
+    dx = jnp.dot(da1c.reshape(-1, HIDDEN), w1.astype(dtype),
+                 preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.reshape(x.shape).astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -205,12 +214,15 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
     params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     traffic = 2 * 2 * b * s * s * 3
 
+    acc = pltpu.VMEM((bt, s, s, HIDDEN), jnp.float32)
+
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, dtype=dtype),
         grid=(b // bt,),
         in_specs=[x_tile] + w_specs,
         out_specs=x_tile,
         out_shape=jax.ShapeDtypeStruct((b, s, s, 3), dtype),
+        scratch_shapes=[acc],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s * s * HIDDEN * (3 + 9 + 3),
             bytes_accessed=traffic, transcendentals=2 * b * s * s * HIDDEN),
@@ -232,6 +244,7 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
             jax.ShapeDtypeStruct((3, HIDDEN), jnp.float32),
             jax.ShapeDtypeStruct((1, 3), jnp.float32),
         ),
+        scratch_shapes=[acc, acc],
         cost_estimate=pl.CostEstimate(
             flops=6 * b * s * s * HIDDEN * (3 + 9 + 3),
             bytes_accessed=2 * traffic,

@@ -158,3 +158,15 @@ class TestConvResidual:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
                 err_msg=f"grad mismatch for {name}")
+
+
+def test_auto_impl_dispatch():
+    """'auto' picks pallas only on TPU, chunked when the score tensor would
+    blow the HBM budget, whole-batch otherwise (CPU here -> never pallas)."""
+    from calm_vit_dte_tpu.ops.attention import _pick_impl
+
+    impl, _ = _pick_impl(2, 3, 48, 48, 16)
+    assert impl == "xla"
+    impl, chunk = _pick_impl(512, 12, 224, 224, 56)
+    assert impl == "chunked"
+    assert chunk >= 1 and 512 % chunk == 0
