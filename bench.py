@@ -76,16 +76,24 @@ def measure(batch_size: int, warmup: int = 3, iters: int = 10,
     state, batch, jit_step = build_step(batch_size, remat)
     for _ in range(warmup):
         state, metrics = jit_step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # Block on the UPDATED STATE, not the loss: the loss materializes after
+    # the forward and (on runtimes that stream outputs) blocking on it can
+    # return before the backward/update execute — observed as an absurd
+    # 4.4 ms/step reading.
+    jax.block_until_ready(state.params)
     times = []
+    losses = []
     for _ in range(iters):
         t0 = time.perf_counter()
         state, metrics = jit_step(state, batch)
-        jax.block_until_ready(metrics["loss"])
+        jax.block_until_ready(state.params)
         times.append(time.perf_counter() - t0)
+        losses.append(float(metrics["loss"]))
     p50 = float(np.percentile(times, 50))
+    if not all(np.isfinite(losses)):
+        raise RuntimeError(f"non-finite losses during bench: {losses}")
     n_chips = jax.device_count()
-    return batch_size / p50 / n_chips, p50, float(metrics["loss"])
+    return batch_size / p50 / n_chips, p50, losses[-1]
 
 
 def main() -> None:

@@ -47,12 +47,14 @@ def _pick_bt(b: int, s: int) -> int | None:
 
 
 def supported(b: int, s: int) -> bool:
-    # Empirically validated envelope on v5e (2026-08): S<=128 compiles and
-    # matches the oracle; S=176 crashes the axon remote compile helper
-    # (HTTP 500) even at Bt=1, S=224 exceeds the VMEM budget. The scratch-
-    # accumulator rewrite already cut compile from 283s to 29s — revisit
-    # larger S with spatial tiling.
-    return s <= 128 and _pick_bt(b, s) is not None
+    # OFF on the training path: measured end-to-end, fusing only the
+    # feasible stages (S<=128 — S=176 crashes the axon remote compiler,
+    # S=224 exceeds VMEM) made the step SLOWER (392 ms vs 314 ms at batch
+    # 128): at Bt<=2 the small-S kernels run 64+ sequential grid steps and
+    # are launch-bound, losing more than the saved HBM traffic. Needs
+    # larger batch tiles (blocked on the remote-compiler crash) or spatial
+    # tiling to win. Kernel + oracle tests kept as groundwork.
+    return False
 
 
 def _supported_ungated(b: int, s: int) -> bool:
