@@ -202,3 +202,19 @@ if __name__ == "__main__":
     gen_block()
     gen_vit("vit_cls_tiny", generate=False, out_features=10)
     gen_vit("vit_reg_tiny", generate=True, out_features=TINY["dim1"])
+
+
+def gen_encoder8():
+    """Encoder_8 with a VALID config (the reference defaults crash on an odd
+    RoPE dim): heads=3, dim_step=12 -> stages 144/108/72, all even."""
+    torch.manual_seed(47)
+    m = vt.Encoder_8(heads=3, dim1=144, dim_step=12, mean_var_hidden=24,
+                     seq_length=48, seq_len_step=4, seq_len_reduce=8)
+    torch.manual_seed(53)
+    x = torch.randn(2, 3, 48, 48)
+    _warm_sn(m, lambda: m(x))
+    with torch.no_grad():
+        y = m(x)
+    np.savez(OUT / "encoder8.npz", **_sd_to_np(m), **{"in/x": x.numpy()},
+             **{"out/y": y.numpy()})
+    print("encoder8", y.shape)

@@ -122,3 +122,27 @@ def test_vit_parity(name, generate, out_features):
     )(params, state, x)
     np.testing.assert_allclose(np.asarray(y), outs["y"], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(float(kl), outs["kl"], rtol=1e-4)
+
+
+def test_encoder8_parity():
+    """Encoder_8 (encoder-only classification stack) vs the reference at a
+    valid config — the reference defaults crash on an odd RoPE dim."""
+    from calm_vit_dte_tpu.models.encoder_decoder import (
+        Encoder8Config,
+        encoder8_apply,
+        encoder8_init,
+    )
+
+    sd, ins, outs = load("encoder8")
+    cfg = Encoder8Config(heads=3, dim1=144, dim_step=12, mean_var_hidden=24,
+                         seq_length=48, seq_len_step=4, seq_len_reduce=8)
+    params, state = encoder8_init(cfg, jax.random.PRNGKey(0))
+    # torch names blocks encoder_blocks.{i} -> our block_{i}
+    sd = {k.replace("encoder_blocks.", "block_"): v for k, v in sd.items()}
+    params, state = import_torch_state_dict(params, state, sd)
+    x = jnp.asarray(ins["x"]).transpose(0, 2, 3, 1)
+    y, _ = jax.jit(
+        lambda p, s, x: encoder8_apply(cfg, p, s, x, training=False))(
+        params, state, x)
+    np.testing.assert_allclose(np.asarray(y), outs["y"], rtol=1e-3,
+                               atol=1e-4)
