@@ -71,7 +71,7 @@ def build_step(batch_size: int, remat: bool = True):
     return state, batch, jit_step
 
 
-def measure(batch_size: int, warmup: int = 3, iters: int = 10,
+def measure(batch_size: int, warmup: int = 3, iters: int = 20,
             remat: bool = True):
     state, batch, jit_step = build_step(batch_size, remat)
     for _ in range(warmup):
