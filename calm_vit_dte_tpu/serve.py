@@ -1,0 +1,123 @@
+"""Inference / serving entry point.
+
+The reference has no serving path at all (SURVEY.md s1: "no
+serving/inference layer"); this module provides one, TPU-first:
+
+  * weights are spectral-normalized ONCE at load (eval-mode sigma from the
+    stored u,v — exactly torch's eval behavior), then frozen;
+  * a single jitted predict function with donated activations, bf16 compute;
+  * batched classify() (top-k) and reconstruct() (sigmoid image output, the
+    reg task's sample path) APIs;
+  * accepts raw uint8 images; eval preprocessing (center crop + normalize)
+    runs on device inside the same program.
+
+    from calm_vit_dte_tpu.serve import Predictor
+    p = Predictor.from_checkpoint("checkpoints", config="imagenet-cls-224")
+    labels, probs = p.classify(images_u8)          # (B,256,256,3) uint8
+
+CLI:  python -m calm_vit_dte_tpu.serve --config tiny-cls [--checkpoint DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from calm_vit_dte_tpu.data.pipeline import make_eval_preprocess
+from calm_vit_dte_tpu.models.vit import vit_apply
+from calm_vit_dte_tpu.nn.spectral_norm import (
+    normalize_tree,
+    prenormalized_scope,
+)
+from calm_vit_dte_tpu.utils.configs import get_config
+
+
+class Predictor:
+    def __init__(self, model_cfg, params, sn_state, crop: int = 224,
+                 dtype=jnp.bfloat16):
+        self.cfg = model_cfg
+        # Freeze eval-mode normalized weights once; u/v never update when
+        # serving (torch eval semantics).
+        self.params, _ = normalize_tree(params, sn_state, training=False)
+        self.sn_state = sn_state
+        pre = make_eval_preprocess(crop)
+
+        def predict(params, sn_state, images_u8):
+            x = pre({"image": images_u8})["image"]
+            with prenormalized_scope():
+                out, kl, _ = vit_apply(model_cfg, params, sn_state, x,
+                                       training=False, dtype=dtype)
+            return out, kl
+
+        self._predict = jax.jit(predict)
+
+    @classmethod
+    def from_checkpoint(cls, source: str, config: str = "imagenet-cls-224",
+                        **overrides):
+        """source: an Orbax checkpoint dir or a reference .pth file."""
+        from calm_vit_dte_tpu.models.factory import create_vit
+
+        train_cfg = get_config(config, **overrides)
+        model_cfg, params, sn_state = create_vit(config, weights=source)
+        return cls(model_cfg, params, sn_state, crop=train_cfg.crop)
+
+    @classmethod
+    def fresh(cls, config: str = "imagenet-cls-224", seed: int = 0):
+        from calm_vit_dte_tpu.models.factory import create_vit
+
+        train_cfg = get_config(config)
+        model_cfg, params, sn_state = create_vit(config, seed=seed)
+        return cls(model_cfg, params, sn_state, crop=train_cfg.crop)
+
+    def classify(self, images_u8, top_k: int = 5):
+        """images_u8: (B, H, W, 3) uint8. Returns (top-k labels (B,k),
+        top-k probs (B,k))."""
+        if self.cfg.generate:
+            raise ValueError("generate-head model; use reconstruct()")
+        logits, _ = self._predict(self.params, self.sn_state,
+                                  jnp.asarray(images_u8))
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = np.asarray(jax.device_get(probs))
+        idx = np.argsort(-probs, axis=-1)[:, :top_k]
+        return idx, np.take_along_axis(probs, idx, axis=-1)
+
+    def reconstruct(self, images_u8):
+        """Returns sigmoid'd reconstructions (B, S, S, 3) float in [0,1]
+        (the reference's sample-generation output, CALM_ViT_V2.py:113-118)."""
+        if not self.cfg.generate:
+            raise ValueError("classification-head model; use classify()")
+        tokens, _ = self._predict(self.params, self.sn_state,
+                                  jnp.asarray(images_u8))
+        b, s, _ = tokens.shape
+        img = jax.nn.sigmoid(tokens.astype(jnp.float32)).reshape(b, s, s, 3)
+        return np.asarray(jax.device_get(img))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="imagenet-cls-224")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+    cfg = get_config(args.config)
+    if args.checkpoint:
+        p = Predictor.from_checkpoint(args.checkpoint, config=args.config)
+    else:
+        p = Predictor.fresh(args.config)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (args.batch, cfg.image_size, cfg.image_size,
+                                 3), dtype=np.uint8)
+    if cfg.model.generate:
+        out = p.reconstruct(imgs)
+        print(f"reconstructed {out.shape}, range "
+              f"[{out.min():.3f}, {out.max():.3f}]")
+    else:
+        labels, probs = p.classify(imgs)
+        print(f"top-5 labels for {args.batch} images:", labels[:2].tolist())
+
+
+if __name__ == "__main__":
+    main()
