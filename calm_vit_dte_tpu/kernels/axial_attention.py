@@ -82,6 +82,28 @@ def supported(h: int, sq: int, skv: int, d: int = 64) -> bool:
     return sq == skv and _pick_tiles(1, h, sq, d, d) is not None
 
 
+def _pick_tiles_fwd(b: int, h: int, s: int, d: int,
+                    dv: int) -> tuple[int, int] | None:
+    """Forward-only tiling: no dk/dv accumulators, ~3 live fp32 score-tile
+    tensors. Covers the hires (S=1024, D=256) stages the backward cannot."""
+    for bt in (8, 4, 2, 1):
+        if b % bt:
+            continue
+        for tq in (512, 256, 128, 64):
+            tile = min(tq, s)
+            if s % tile:
+                continue
+            est = (3 * 4 * (3 * bt * h * tile * s + 2 * bt * tile * s)
+                   + 2 * (2 * bt * h * s * (d + dv)))
+            if est <= _TILE_BUDGET:
+                return bt, tile
+    return None
+
+
+def fwd_supported(h: int, sq: int, skv: int, d: int = 64) -> bool:
+    return sq == skv and _pick_tiles_fwd(1, h, sq, d, d) is not None
+
+
 def _erf(x):
     # Mosaic has no erf/erfc lowering; Abramowitz-Stegun 7.1.26 polynomial,
     # max abs error 1.5e-7 — exact at bf16/fp32 working precision.
@@ -347,3 +369,70 @@ def fused_masked_attention(q, k, v, w1, b1, w2, b2, *, scale: float, dtype,
     fused = _make_fused(scale, jnp.dtype(dtype).name, True,
                         (b, h, s, d, dv, s2), interpret)
     return fused(q, k, v, w1, b1.reshape(1, s2), w2, b2.reshape(1, s))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fwd_only(scale: float, dtype_name: str, use_mask: bool,
+                   shapes: tuple, interpret: bool = False):
+    """Forward-only pallas_call with the (laxer) forward tiling — used by the
+    hybrid pallas-forward / XLA-backward path (ops/attention.py) for shapes
+    whose backward kernel exceeds VMEM or the toolchain."""
+    dtype = jnp.dtype(dtype_name)
+    b, h, s, d, dv, s2 = shapes
+    tiles = _pick_tiles_fwd(b, h, s, d, dv)
+    if tiles is None:
+        raise ValueError(f"no feasible fwd tiling for B={b}, H={h}, S={s}")
+    bt, tq = tiles
+    grid = (b // bt, s // tq)
+
+    def q_tile(shape_d):
+        return pl.BlockSpec((bt, h, tq, shape_d),
+                            lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kv_full(shape_d):
+        return pl.BlockSpec((bt, h, s, shape_d),
+                            lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, dtype=dtype,
+                          use_mask=use_mask, bt=bt, h=h),
+        grid=grid,
+        in_specs=[q_tile(d), kv_full(d), kv_full(dv),
+                  const((s, s2)), const((1, s2)), const((s2, s)),
+                  const((1, s))],
+        out_specs=q_tile(dv),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dv), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * s * s * (d + dv) + 4 * b * s * s * s2,
+            bytes_accessed=4 * b * h * s * (2 * d + 2 * dv),
+            transcendentals=b * h * s * s + b * s * s2),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+def fused_attention_forward(q, k, v, w1, b1, w2, b2, *, scale: float,
+                            dtype, use_mask: bool = True,
+                            interpret: bool = False):
+    """Forward-only fused attention (no custom VJP — callers provide their
+    own backward, see ops/attention.py hybrid path)."""
+    b, h, s, d = q.shape
+    dv = v.shape[-1]
+    s2 = 2 * s
+    q = q.astype(dtype)
+    k = k.astype(dtype)
+    v = v.astype(dtype)
+    if not use_mask:
+        w1 = jnp.zeros((s2, s), jnp.float32)
+        b1 = jnp.zeros((s2,), jnp.float32)
+        w2 = jnp.zeros((s, s2), jnp.float32)
+        b2 = jnp.zeros((s,), jnp.float32)
+    call = _make_fwd_only(scale, jnp.dtype(dtype).name, use_mask,
+                          (b, h, s, d, dv, s2), interpret)
+    return call(q, k, v, w1.T, b1.reshape(1, s2), w2.T, b2.reshape(1, s))

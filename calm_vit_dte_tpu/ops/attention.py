@@ -33,6 +33,7 @@ preferred_element_type.
 
 from __future__ import annotations
 
+import functools
 import math
 from contextlib import contextmanager
 from functools import partial
@@ -66,11 +67,15 @@ def _pick_impl(b: int, h: int, sq: int, skv: int,
     if impl == "auto":
         if _pallas_supported(b, h, sq, skv, d):
             impl = "pallas"
+        elif _pallas_fwd_supported(b, h, sq, skv, d):
+            # Hires shapes: the fused forward fits VMEM but the backward
+            # kernel does not — pallas forward + chunked-XLA backward.
+            impl = "pallas_fwd"
         elif b * h * sq * skv * 4 > _AUTO_SCORE_BUDGET:
             impl = "chunked"
         else:
             impl = "xla"
-    if impl == "chunked" and chunk is None:
+    if impl in ("chunked", "pallas_fwd") and chunk is None:
         per_item = h * sq * skv * 4
         chunk = max(1, _AUTO_SCORE_BUDGET // (4 * per_item))
         while b % chunk:
@@ -84,6 +89,63 @@ def _pallas_supported(b: int, h: int, sq: int, skv: int, d: int) -> bool:
     from calm_vit_dte_tpu.kernels import axial_attention as ka
 
     return ka.supported(h, sq, skv, d)
+
+
+def _pallas_fwd_supported(b: int, h: int, sq: int, skv: int,
+                          d: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    from calm_vit_dte_tpu.kernels import axial_attention as ka
+
+    return ka.fwd_supported(h, sq, skv, d)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_hybrid(scale: float, dtype_name: str, use_mask: bool,
+                 chunk: int | None, shapes: tuple,
+                 interpret: bool = False):
+    """Pallas fused forward + chunked-XLA recompute backward, for shapes
+    whose backward kernel exceeds VMEM (hires stages)."""
+    dtype = jnp.dtype(dtype_name)
+    b = shapes[0]
+
+    def xla_fn(q, k, v, w1, b1, w2, b2):
+        core = jax.checkpoint(partial(_attention_core, scale=scale,
+                                      dtype=dtype, use_mask=use_mask))
+        if chunk and b > chunk:
+            n = b // chunk
+
+            def run_chunk(args):
+                qc, kc, vc = args
+                return core(qc, kc, vc, w1, b1, w2, b2)
+
+            out = jax.lax.map(run_chunk, (
+                q.reshape(n, chunk, *q.shape[1:]),
+                k.reshape(n, chunk, *k.shape[1:]),
+                v.reshape(n, chunk, *v.shape[1:])))
+            return out.reshape(b, *out.shape[2:])
+        return core(q, k, v, w1, b1, w2, b2)
+
+    @jax.custom_vjp
+    def hybrid(q, k, v, w1, b1, w2, b2):
+        from calm_vit_dte_tpu.kernels.axial_attention import (
+            fused_attention_forward,
+        )
+
+        return fused_attention_forward(q, k, v, w1, b1, w2, b2,
+                                       scale=scale, dtype=dtype,
+                                       use_mask=use_mask,
+                                       interpret=interpret)
+
+    def hybrid_fwd(q, k, v, w1, b1, w2, b2):
+        return hybrid(q, k, v, w1, b1, w2, b2), (q, k, v, w1, b1, w2, b2)
+
+    def hybrid_bwd(res, g):
+        _, vjp = jax.vjp(xla_fn, *res)
+        return vjp(g)
+
+    hybrid.defvjp(hybrid_fwd, hybrid_bwd)
+    return hybrid
 
 
 def _attention_core(q, k, v, w1, b1, w2, b2, *, scale: float, dtype,
@@ -142,6 +204,17 @@ def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
         out = fused_masked_attention(q, k, v, w1, b1, w2, b2, scale=scale,
                                      dtype=dtype, use_mask=use_mask)
+    elif impl == "pallas_fwd":
+        hybrid = _make_hybrid(scale, jnp.dtype(dtype).name, use_mask,
+                              chunk, (b, h, sq, q.shape[-1]))
+        if not use_mask:
+            s2 = 2 * sq
+            w1 = jnp.zeros((s2, sq), jnp.float32)
+            b1 = jnp.zeros((s2,), jnp.float32)
+            w2 = jnp.zeros((sq, s2), jnp.float32)
+            b2 = jnp.zeros((sq,), jnp.float32)
+        out = hybrid(q.astype(dtype), k.astype(dtype), v.astype(dtype),
+                     w1, b1, w2, b2)
     elif impl == "chunked" and b > chunk:
         core = jax.checkpoint(partial(_attention_core, scale=scale,
                                       dtype=dtype, use_mask=use_mask))

@@ -170,3 +170,36 @@ def test_auto_impl_dispatch():
     impl, chunk = _pick_impl(512, 12, 224, 224, 56)
     assert impl == "chunked"
     assert chunk >= 1 and 512 % chunk == 0
+
+
+def test_hybrid_pallas_fwd_xla_bwd():
+    """The hires-path hybrid (fused forward in interpret mode + XLA
+    recompute backward) matches the whole-batch oracle in both directions."""
+    import math
+
+    from calm_vit_dte_tpu.ops.attention import _attention_core, _make_hybrid
+
+    q, k, v, w1, b1, w2, b2 = _inputs(b=4)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    hybrid = _make_hybrid(scale, "float32", True, 2,
+                          (4, 3, 48, 16), interpret=True)
+    out = hybrid(q, k, v, w1, b1, w2, b2)
+    ref = _attention_core(q, k, v, w1, b1, w2, b2, scale=scale,
+                          dtype=jnp.float32, use_mask=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+    def loss_h(args):
+        return jnp.sum(hybrid(*args) ** 2)
+
+    def loss_r(args):
+        return jnp.sum(_attention_core(*args, scale=scale,
+                                       dtype=jnp.float32,
+                                       use_mask=True) ** 2)
+
+    gh = jax.grad(loss_h)((q, k, v, w1, b1, w2, b2))
+    gr = jax.grad(loss_r)((q, k, v, w1, b1, w2, b2))
+    for name, a, b_ in zip("q k v w1 b1 w2 b2".split(), gr, gh):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=f"hybrid grad mismatch {name}")
