@@ -145,17 +145,29 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
     last_batch = None
     for epoch in range(start_epoch, cfg.epochs):
         sampler.set_epoch(epoch)
-        for i, host_batch in enumerate(loader):
-            batch = {
-                "image": jax.make_array_from_process_local_data(
-                    data_sh, host_batch["image"]),
-                "label": jax.make_array_from_process_local_data(
-                    data_sh, host_batch["label"]),
-            }
+        # Device prefetch: the NEXT batch transfers to HBM while the current
+        # step executes (jit dispatch is async), hiding host->device latency
+        # behind compute.
+        def to_device(host_batch):
+            return {k: jax.make_array_from_process_local_data(data_sh, v)
+                    for k, v in host_batch.items()}
+
+        it = iter(loader)
+        try:
+            batch = to_device(next(it))
+        except StopIteration:
+            batch = None
+        i = 0
+        while batch is not None:
             state, metrics = jit_step(state, batch)
+            last_batch = batch
+            try:
+                batch = to_device(next(it))  # overlaps with the async step
+            except StopIteration:
+                batch = None
             logger.tick()
             logger.log(epoch, i, metrics)
-            last_batch = batch
+            i += 1
             total += 1
             if stop_requested["flag"]:
                 if is_chief():
