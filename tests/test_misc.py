@@ -79,3 +79,46 @@ def test_import_rejects_unknown_keys():
         import_torch_state_dict(
             params, state,
             {"head.0.weight_orig": np.zeros((4, 4), np.float32)})
+
+
+def test_torch_export_roundtrip():
+    """export -> import reproduces the exact pytrees (both directions of the
+    reference-checkpoint migration path)."""
+    import jax
+
+    from calm_vit_dte_tpu.compat.torch_export import export_torch_state_dict
+    from calm_vit_dte_tpu.compat.torch_import import import_torch_state_dict
+    from calm_vit_dte_tpu.models.vit import vit_init
+    from calm_vit_dte_tpu.utils.configs import TINY_VIT
+
+    params, state = vit_init(TINY_VIT, jax.random.PRNGKey(7))
+    sd = export_torch_state_dict(params, state)
+    assert all("." in k for k in sd)
+    p2, s2 = vit_init(TINY_VIT, jax.random.PRNGKey(8))  # different init
+    p2, s2 = import_torch_state_dict(p2, s2, sd)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_export_names_match_reference():
+    """Exported names are exactly the reference's state-dict keys (checked
+    against the committed golden, which recorded the reference's names)."""
+    import pathlib
+
+    import jax
+
+    from calm_vit_dte_tpu.compat.torch_export import export_torch_state_dict
+    from calm_vit_dte_tpu.models.vit import vit_init
+    from calm_vit_dte_tpu.utils.configs import TINY_VIT
+
+    golden = np.load(pathlib.Path(__file__).parent / "golden"
+                     / "vit_cls_tiny.npz")
+    ref_keys = {k[3:] for k in golden.files if k.startswith("sd/")}
+    params, state = vit_init(TINY_VIT, jax.random.PRNGKey(0))
+    ours = set(export_torch_state_dict(params, state))
+    missing = ref_keys - ours
+    extra = ours - ref_keys
+    assert not missing, f"missing reference keys: {sorted(missing)[:5]}"
+    assert not extra, f"extra keys: {sorted(extra)[:5]}"
