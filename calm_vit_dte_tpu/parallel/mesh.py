@@ -69,6 +69,36 @@ def param_shardings(mesh: Mesh, params, min_shard_dim: int = 512):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def state_shardings(mesh: Mesh, state, p_sh, tx):
+    """Sharding pytree for a full TrainState: params under `p_sh`, optimizer
+    moments sharded IDENTICALLY to their params (so GSPMD never re-shards
+    them per step), everything else replicated.
+
+    The reference has no analog — DDP replicates the whole optimizer on
+    every rank (distributed_trainer_cls.py:55,158); here the AdamW mu/nu
+    follow the tensor-parallel layout of their weights.
+    """
+    import optax
+
+    repl = replicated_sharding(mesh)
+    try:
+        opt_sh = optax.tree_map_params(
+            tx, lambda _p, sh: sh, state.opt_state, p_sh,
+            transform_non_params=lambda _x: repl)
+    except ValueError:
+        # optax.flatten-style chains hold flat moment vectors that cannot
+        # carry per-param shardings; replicate them (correct on a
+        # data-parallel-only mesh — use flatten=False for TP).
+        opt_sh = jax.tree.map(lambda _x: repl, state.opt_state)
+    return state.__class__(
+        params=p_sh,
+        sn_state=jax.tree.map(lambda _x: repl, state.sn_state),
+        opt_state=opt_sh,
+        step=repl,
+        rng=repl,
+    )
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh, sharded along 'data'."""
     sh = batch_sharding(mesh)

@@ -35,10 +35,18 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
                    steps_per_epoch: int = 1000, clip_norm: float = 1.0,
                    eta_min: float = 1e-6,
                    skip_nonfinite: bool = True,
+                   flatten: bool = True,
                    ) -> optax.GradientTransformation:
     """skip_nonfinite reproduces torch GradScaler's step-skipping on inf/nan
     gradients (the only thing the scaler actually did under bf16; reference:
-    distributed_trainer_cls.py:87-94)."""
+    distributed_trainer_cls.py:87-94).
+
+    flatten=True runs the update on one flat vector — the param tree has
+    ~700 leaves, so the per-leaf clip/adam chain becomes ~7k tiny TPU ops
+    (~30 ms/step at 42M params); flattened it is a handful of large VPU
+    passes. Use flatten=False under tensor parallelism: the flat vector
+    cannot carry per-param TP shardings, so the moments must keep the param
+    tree structure (see parallel.mesh.state_shardings)."""
     schedule = cosine_per_epoch_schedule(base_lr, epochs, steps_per_epoch,
                                          eta_min)
     tx = optax.chain(
@@ -48,7 +56,4 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
     )
     if skip_nonfinite:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
-    # Flatten: the param tree has ~700 leaves, so the per-leaf clip/adam
-    # chain becomes ~7k tiny TPU ops (~30 ms/step at 42M params). On one
-    # flat vector it is a handful of large VPU passes.
-    return optax.flatten(tx)
+    return optax.flatten(tx) if flatten else tx
