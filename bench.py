@@ -38,6 +38,48 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 METRIC = "imagenet224_cls_train_images_per_sec_per_chip"
 
 
+def kernel_regression_check() -> None:
+    """On-TPU fused-kernel-vs-XLA-oracle assert (fwd + grads) on a small
+    flagship-like shape, run before timing so a Mosaic/toolchain regression
+    fails the bench loudly instead of silently degrading (VERDICT r1 #7)."""
+    from calm_vit_dte_tpu.kernels.axial_attention import (
+        fused_masked_attention,
+    )
+    from calm_vit_dte_tpu.ops.attention import _attention_core
+
+    rng = np.random.default_rng(7)
+    b, h, s, d = 4, 12, 128, 56
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)) * 0.3,
+                           jnp.float32) for _ in range(3))
+    w1 = jnp.asarray(rng.standard_normal((2 * s, s)) * 0.05, jnp.float32)
+    b1 = jnp.zeros((2 * s,), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((s, 2 * s)) * 0.05, jnp.float32)
+    b2 = jnp.zeros((s,), jnp.float32)
+    scale = 1.0 / (d ** 0.5)
+
+    def loss_fused(q, k, v, w1, b1, w2, b2):
+        o = fused_masked_attention(q, k, v, w1, b1, w2, b2, scale=scale,
+                                   dtype=jnp.float32)
+        return jnp.sum(o * o)
+
+    def loss_oracle(q, k, v, w1, b1, w2, b2):
+        o = _attention_core(q, k, v, w1, b1, w2, b2, scale=scale,
+                            dtype=jnp.float32, use_mask=True)
+        return jnp.sum(o * o)
+
+    args = (q, k, v, w1, b1, w2, b2)
+    lf, gf = jax.jit(jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3)))(
+        *args)
+    lo, go = jax.jit(jax.value_and_grad(loss_oracle, argnums=(0, 1, 2, 3)))(
+        *args)
+    np.testing.assert_allclose(float(lf), float(lo), rtol=2e-4)
+    for a, b_ in zip(gf, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-3, atol=5e-3)
+    print("kernel regression check: fused == oracle (fwd+grads)",
+          file=sys.stderr, flush=True)
+
+
 def build_step(batch_size: int, remat: bool = True):
     from calm_vit_dte_tpu.data.pipeline import make_cls_preprocess
     from calm_vit_dte_tpu.models.vit import vit_init
@@ -71,10 +113,28 @@ def build_step(batch_size: int, remat: bool = True):
     return state, batch, jit_step
 
 
+def step_flops(jit_step, state, batch) -> float | None:
+    """FLOPs of the compiled train step from XLA cost analysis (includes the
+    Pallas kernels via their CostEstimates)."""
+    try:
+        analysis = jit_step.lower(state, batch).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"cost analysis unavailable: {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr, flush=True)
+        return None
+
+
 def measure(batch_size: int, warmup: int = 3, iters: int = 20,
             remat: bool = True):
     state, batch, jit_step = build_step(batch_size, remat)
-    for _ in range(warmup):
+    state, metrics = jit_step(state, batch)  # compile + first step
+    # The executable now exists, so lower+compile for cost analysis hits the
+    # cache instead of recompiling.
+    flops = step_flops(jit_step, state, batch)
+    for _ in range(max(warmup - 1, 0)):
         state, metrics = jit_step(state, batch)
     # Block on the UPDATED STATE, not the loss: the loss materializes after
     # the forward and (on runtimes that stream outputs) blocking on it can
@@ -93,7 +153,12 @@ def measure(batch_size: int, warmup: int = 3, iters: int = 20,
     if not all(np.isfinite(losses)):
         raise RuntimeError(f"non-finite losses during bench: {losses}")
     n_chips = jax.device_count()
-    return batch_size / p50 / n_chips, p50, losses[-1]
+    mfu = None
+    if flops:
+        from calm_vit_dte_tpu.utils.profiling import chip_peak_tflops
+
+        mfu = flops / p50 / n_chips / (chip_peak_tflops() * 1e12)
+    return batch_size / p50 / n_chips, p50, losses[-1], mfu
 
 
 def main() -> None:
@@ -106,9 +171,19 @@ def main() -> None:
                 (32, True), (16, True), (8, True)]
     if os.environ.get("BENCH_BS"):
         attempts = [(int(os.environ["BENCH_BS"]), False)] + attempts
+    try:
+        kernel_regression_check()
+    except AssertionError as e:
+        print(json.dumps({"metric": METRIC, "value": 0.0,
+                          "unit": "images/sec/chip", "vs_baseline": 0.0,
+                          "error": f"kernel regression: {str(e)[:300]}"}))
+        return
+    except Exception as e:  # CPU-only env etc.: check not applicable
+        print(f"kernel check skipped: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr, flush=True)
     for bs, remat in attempts:
         try:
-            ips, p50, loss = measure(bs, remat=remat)
+            ips, p50, loss, mfu = measure(bs, remat=remat)
             break
         except Exception as e:  # OOM or compile failure: shrink
             print(f"batch {bs} (remat={remat}) failed: {type(e).__name__}: "
@@ -132,7 +207,7 @@ def main() -> None:
             json.dump({"metric": METRIC, "value": ips,
                        "recorded": time.strftime("%Y-%m-%d")}, f)
 
-    print(json.dumps({
+    out = {
         "metric": METRIC,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
@@ -141,7 +216,10 @@ def main() -> None:
         "batch_size": bs,
         "n_chips": jax.device_count(),
         "backend": jax.default_backend(),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

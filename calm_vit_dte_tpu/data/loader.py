@@ -108,13 +108,19 @@ class BatchLoader:
 
     def __init__(self, dataset, sampler: ShardedSampler, batch_size: int,
                  num_workers: int = 5, prefetch: int = 4,
-                 drop_last: bool = True):
+                 drop_last: bool = True, pad_last: bool = False):
+        """pad_last=True (implies drop_last=False semantics): the final
+        partial batch is padded to full batch_size by wrapping, and every
+        batch carries a 'valid' bool array marking real entries — so jitted
+        shapes stay static while evaluation covers each sample exactly once
+        (combined with ShardedSampler.valid_mask)."""
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
-        self.drop_last = drop_last
+        self.drop_last = drop_last and not pad_last
+        self.pad_last = pad_last
 
     def steps_per_epoch(self) -> int:
         n = len(self.sampler)
@@ -125,6 +131,18 @@ class BatchLoader:
         nb = self.steps_per_epoch()
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
+        valids = None
+        if self.pad_last:
+            valid_all = (self.sampler.valid_mask()
+                         if hasattr(self.sampler, "valid_mask")
+                         else np.ones(len(indices), bool))
+            valids = [valid_all[i * self.batch_size:(i + 1) * self.batch_size]
+                      for i in range(nb)]
+            for i, (b, v) in enumerate(zip(batches, valids)):
+                short = self.batch_size - len(b)
+                if short > 0:
+                    batches[i] = np.concatenate([b, indices[:short]])
+                    valids[i] = np.concatenate([v, np.zeros(short, bool)])
         task_q: queue.Queue = queue.Queue()
         results: dict[int, dict] = {}
         lock = threading.Lock()
@@ -144,16 +162,26 @@ class BatchLoader:
                 except queue.Empty:
                     budget.release()
                     return
-                if hasattr(self.dataset, "load_batch"):
-                    imgs, labels = self.dataset.load_batch(idxs)
-                else:
-                    imgs = np.empty((len(idxs), self.dataset.size,
-                                     self.dataset.size, 3), np.uint8)
-                    labels = np.empty((len(idxs),), np.int32)
-                    for j, idx in enumerate(idxs):
-                        imgs[j], labels[j] = self.dataset.load(int(idx))
+                try:
+                    if hasattr(self.dataset, "load_batch"):
+                        imgs, labels = self.dataset.load_batch(idxs)
+                    else:
+                        imgs = np.empty((len(idxs), self.dataset.size,
+                                         self.dataset.size, 3), np.uint8)
+                        labels = np.empty((len(idxs),), np.int32)
+                        for j, idx in enumerate(idxs):
+                            imgs[j], labels[j] = self.dataset.load(int(idx))
+                    payload = {"image": imgs, "label": labels}
+                    if valids is not None:
+                        payload["valid"] = valids[i]
+                except BaseException as e:
+                    # A raising worker must still publish a result: storing
+                    # the exception keeps the consumer loop from busy-waiting
+                    # forever on a slot that would never fill (one corrupt
+                    # file must fail the job loudly, not hang it).
+                    payload = e
                 with lock:
-                    results[i] = {"image": imgs, "label": labels}
+                    results[i] = payload
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -169,5 +197,8 @@ class BatchLoader:
                 time.sleep(0.002)
                 continue
             budget.release()
+            if isinstance(batch, BaseException):
+                raise RuntimeError(
+                    f"data worker failed on batch {next_idx}") from batch
             yield batch
             next_idx += 1

@@ -42,8 +42,9 @@ def make_reg_preprocess(crop: int = 224):
 def make_eval_preprocess(crop: int = 224):
     def preprocess(batch: dict) -> dict:
         out = {"image": eval_preprocess(batch["image"], crop=crop)}
-        if "label" in batch:
-            out["label"] = batch["label"]
+        for key in ("label", "valid"):
+            if key in batch:
+                out[key] = batch[key]
         return out
 
     return preprocess

@@ -52,5 +52,13 @@ class ShardedSampler:
             order = order[:total]
         return order[self.shard::self.num_shards]
 
+    def valid_mask(self) -> np.ndarray:
+        """Bool mask aligned with indices(): False for wrap-around padding
+        entries (duplicates). For training the duplicates are harmless; for
+        evaluation they must be excluded so each sample counts exactly once."""
+        per_shard = len(self)
+        pos = self.shard + np.arange(per_shard) * self.num_shards
+        return pos < self.dataset_size
+
     def __iter__(self):
         return iter(self.indices())

@@ -20,6 +20,7 @@ u/v as fp32 buffers and the master weight in fp32 under autocast).
 from __future__ import annotations
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +28,11 @@ import jax.numpy as jnp
 from calm_vit_dte_tpu.nn import init as vinit
 
 _EPS = 1e-12
-_PRENORMALIZED = {"on": False}
+# ContextVar (not a module global): trace-time-only flag, but tests and the
+# trainer may trace on different threads concurrently — a shared dict would
+# leak the scope across threads.
+_PRENORMALIZED: ContextVar[bool] = ContextVar("sn_prenormalized",
+                                              default=False)
 
 
 @contextmanager
@@ -40,12 +45,11 @@ def prenormalized_scope():
     backward replay and threads ~300 small state tensors through every remat
     segment (measured: ~80 ms/step of sub-64K fusions + ~50 ms of tiny
     copies at batch 128)."""
-    prev = _PRENORMALIZED["on"]
-    _PRENORMALIZED["on"] = True
+    token = _PRENORMALIZED.set(True)
     try:
         yield
     finally:
-        _PRENORMALIZED["on"] = prev
+        _PRENORMALIZED.reset(token)
 
 
 def sn_state_init(key: jax.Array, out_dim: int, in_dim: int) -> dict:
@@ -71,7 +75,7 @@ def power_iteration(w_mat: jax.Array, u: jax.Array, v: jax.Array):
 def spectral_normalize(w: jax.Array, state: dict, *, training: bool):
     """Return (w / sigma, new_state). `w` may be any rank; the 2-D view is
     (w.shape[0], -1), matching torch's dim=0 reshape for Linear and Conv2d."""
-    if _PRENORMALIZED["on"]:
+    if _PRENORMALIZED.get():
         return w, state
     w32 = w.astype(jnp.float32)
     w_mat = w32.reshape(w32.shape[0], -1)

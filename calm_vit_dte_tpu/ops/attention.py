@@ -36,6 +36,7 @@ from __future__ import annotations
 import functools
 import math
 from contextlib import contextmanager
+from contextvars import ContextVar
 from functools import partial
 
 import jax
@@ -43,7 +44,11 @@ import jax.numpy as jnp
 
 from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
 
-_STATE = {"impl": "auto", "chunk": None}
+# ContextVar, not a module global: impl selection is trace-time-only but
+# must not leak across threads (e.g. a test tracing the 'xla' oracle while
+# the trainer thread traces 'auto').
+_STATE: ContextVar[tuple[str, int | None]] = ContextVar(
+    "attention_impl", default=("auto", None))
 # 'auto' switches from whole-batch to chunked when the fp32 score tensor
 # would exceed this many bytes.
 _AUTO_SCORE_BUDGET = 1 << 28  # 256 MB
@@ -51,19 +56,17 @@ _AUTO_SCORE_BUDGET = 1 << 28  # 256 MB
 
 @contextmanager
 def attention_impl(impl: str, chunk: int | None = None):
-    """Select the attention implementation for a scope (thread-level)."""
-    prev = dict(_STATE)
-    _STATE.update(impl=impl, chunk=chunk)
+    """Select the attention implementation for a scope (per-context)."""
+    token = _STATE.set((impl, chunk))
     try:
         yield
     finally:
-        _STATE.update(prev)
+        _STATE.reset(token)
 
 
 def _pick_impl(b: int, h: int, sq: int, skv: int,
                d: int) -> tuple[str, int]:
-    impl = _STATE["impl"]
-    chunk = _STATE["chunk"]
+    impl, chunk = _STATE.get()
     if impl == "auto":
         if _pallas_supported(b, h, sq, skv, d):
             impl = "pallas"

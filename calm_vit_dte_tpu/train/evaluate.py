@@ -65,7 +65,8 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
                                      b["image"], training=False,
                                      dtype=jnp.bfloat16)
         pred = jnp.argmax(logits, axis=-1)
-        return jnp.sum((pred == b["label"]).astype(jnp.int32))
+        return (jnp.sum(((pred == b["label"]) & b["valid"]).astype(jnp.int32)),
+                jnp.sum(b["valid"].astype(jnp.int32)))
 
     jit_eval = jax.jit(eval_step)
 
@@ -73,16 +74,18 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
     per_host = cfg.global_batch_size // jax.process_count()
     sampler = ShardedSampler(len(dataset), jax.process_count(),
                              jax.process_index(), shuffle=False)
+    # pad_last + valid masks: static jit shapes, yet each val image counts
+    # exactly once (no wrap-padding duplicates, no dropped tail batch).
     loader = BatchLoader(dataset, sampler, per_host,
-                         num_workers=cfg.num_workers)
+                         num_workers=cfg.num_workers, pad_last=True)
     sh = batch_sharding(mesh)
     correct = total = 0
     for i, host_batch in enumerate(loader):
         batch = {k: jax.make_array_from_process_local_data(sh, v)
                  for k, v in host_batch.items()}
-        correct += int(jax.device_get(jit_eval(state.params, state.sn_state,
-                                               batch)))
-        total += batch["label"].shape[0]
+        c, n = jax.device_get(jit_eval(state.params, state.sn_state, batch))
+        correct += int(c)
+        total += int(n)
         if is_chief() and i % 10 == 0:
             print(f"Batch {i}, Accuracy: {correct / max(total, 1) * 100}%",
                   flush=True)
@@ -96,11 +99,16 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
 
 
 def main() -> None:
+    from calm_vit_dte_tpu.train.train_cls import _parse_overrides
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="imagenet-cls-224")
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("overrides", nargs="*",
+                    help="TrainConfig field overrides, key=value")
     args = ap.parse_args()
-    evaluate(get_config(args.config), max_batches=args.max_batches)
+    evaluate(get_config(args.config, **_parse_overrides(args.overrides)),
+             max_batches=args.max_batches)
 
 
 if __name__ == "__main__":

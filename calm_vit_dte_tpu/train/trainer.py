@@ -54,13 +54,39 @@ from calm_vit_dte_tpu.utils.configs import TrainConfig
 from calm_vit_dte_tpu.utils.logging import MetricLogger, is_chief
 
 
+def _multihost_env_detected() -> bool:
+    """True when the process is part of a multi-host launch that needs
+    jax.distributed.initialize(): an explicit coordinator, a Cloud TPU pod
+    slice (the TPU runtime sets worker-topology vars), GKE JobSet, or a
+    multislice (MEGASCALE) deployment."""
+    env = os.environ
+    if env.get("COORDINATOR_ADDRESS") or env.get("JAX_COORDINATOR_ADDRESS"):
+        return True
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    # Cloud TPU pod slice: the runtime publishes the worker list; >1 entry
+    # means this chip set spans hosts (reference bar: the Spark master+slaves
+    # rendezvous in Deployments/master-job.yaml:99-150 ran multi-node).
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h]) > 1:
+        return True
+    return False
+
+
 def maybe_init_distributed() -> None:
-    """Multi-host init when launched under a JAX coordinator (TPU pod or
-    explicit COORDINATOR_ADDRESS). Single-process otherwise."""
+    """Multi-host init: auto-detects Cloud TPU pod slices / GKE JobSet /
+    multislice environments in addition to an explicit COORDINATOR_ADDRESS
+    (jax.distributed.initialize() fills in coordinator/rank from the TPU
+    metadata once we know we're multi-host). Single-process otherwise."""
     if jax.process_count() > 1:
         return  # already initialized
-    if os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if _multihost_env_detected():
+        try:
+            jax.distributed.initialize()
+        except Exception as e:
+            if is_chief():
+                print(f"multi-host detected but jax.distributed.initialize "
+                      f"failed ({e}); continuing single-process", flush=True)
 
 
 def build_dataset(cfg: TrainConfig, split: str = "train"):
@@ -170,15 +196,18 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
             i += 1
             total += 1
             if stop_requested["flag"]:
+                # Orbax save is a cross-process collective (global sync
+                # barriers): EVERY process must enter it — a chief-only save
+                # would hang multi-host. Only the print is chief-gated.
+                save_checkpoint(cfg.checkpoint_dir, state)
                 if is_chief():
-                    save_checkpoint(cfg.checkpoint_dir, state)
                     print(f"SIGTERM: checkpointed at step {int(state.step)}; "
                           "exiting", flush=True)
                 return state
             if max_steps is not None and total >= max_steps:
                 break
+        save_checkpoint(cfg.checkpoint_dir, state)  # collective: all procs
         if is_chief():
-            save_checkpoint(cfg.checkpoint_dir, state)
             print(f"checkpoint saved at step {int(state.step)}", flush=True)
             if cfg.task == "reg" and cfg.save_samples_dir and \
                     last_batch is not None:

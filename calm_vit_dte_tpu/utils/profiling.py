@@ -39,13 +39,13 @@ def time_fn(fn, *args, warmup: int = 3, iters: int = 10):
 # Peak bf16 TFLOP/s per chip, for MXU-utilization estimates.
 _PEAK_TFLOPS = {
     "v4": 275.0,
-    "v5e": 394.0,   # v5litepod bf16 peak
+    "v5e": 197.0,   # v5litepod bf16 peak (394 is the int8 figure)
     "v5p": 459.0,
     "v6e": 918.0,
 }
 
 
-def chip_peak_tflops(default: float = 394.0) -> float:
+def chip_peak_tflops(default: float = 197.0) -> float:
     kind = jax.devices()[0].device_kind.lower()
     for name, peak in _PEAK_TFLOPS.items():
         if name in kind.replace(" ", ""):

@@ -116,3 +116,59 @@ class TestLoader:
         again = list(loader)
         np.testing.assert_array_equal(batches[0]["image"],
                                       again[0]["image"])
+
+
+class FailingDataset:
+    """Dataset whose item 7 always raises (simulates a corrupt file that
+    both the native decoder and the PIL fallback reject)."""
+
+    size = 8
+
+    def __len__(self):
+        return 32
+
+    def load(self, idx):
+        if idx == 7:
+            raise OSError("truncated image")
+        rng = np.random.default_rng(idx)
+        return (rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+                int(idx % 4))
+
+
+class TestLoaderFailure:
+    def test_corrupt_sample_raises_instead_of_hanging(self):
+        ds = FailingDataset()
+        sampler = ShardedSampler(len(ds), 1, 0, shuffle=False)
+        loader = BatchLoader(ds, sampler, batch_size=4, num_workers=2)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="data worker failed"):
+            for _ in loader:
+                pass
+
+
+class TestEvalCoverage:
+    def test_valid_mask_excludes_wrap_padding(self):
+        n, world = 103, 4  # ceil -> 26/shard, 1 duplicate in shard 3
+        masks = [ShardedSampler(n, world, r, shuffle=False).valid_mask()
+                 for r in range(world)]
+        assert sum(int(m.sum()) for m in masks) == n
+        idxs = [ShardedSampler(n, world, r, shuffle=False).indices()
+                for r in range(world)]
+        real = np.concatenate([i[m] for i, m in zip(idxs, masks)])
+        assert sorted(real.tolist()) == list(range(n))
+
+    def test_pad_last_covers_each_sample_once(self):
+        ds = SyntheticDataset(n=21, num_classes=4, size=8)
+        sampler = ShardedSampler(len(ds), 2, 0, shuffle=False)
+        loader = BatchLoader(ds, sampler, batch_size=4, num_workers=1,
+                             pad_last=True)
+        seen = []
+        for batch in loader:
+            assert batch["image"].shape[0] == 4  # static shapes
+            assert "valid" in batch
+            seen.extend(
+                np.asarray(batch["label"])[batch["valid"]].tolist())
+        # shard 0 of 21 samples over 2 shards: 11 entries, all real
+        # (wrap padding lands in shard 1); loader pad fills batch 3.
+        assert len(seen) == 11

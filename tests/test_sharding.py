@@ -87,3 +87,59 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_tp_matches_dp_loss():
+    """TP=2 with param+optimizer-state sharding gives the same loss and
+    updated params as the pure-DP mesh (VERDICT round-1 item 10)."""
+    from calm_vit_dte_tpu.parallel.mesh import state_shardings
+
+    cfg = get_config("tiny-cls")
+    rng = np.random.default_rng(0)
+    image = rng.standard_normal((8, 48, 48, 3)).astype(np.float32)
+    label = np.asarray(jax.nn.one_hot(rng.integers(0, 10, 8), 10))
+
+    def run(data, model):
+        mesh = make_mesh(data=data, model=model)
+        params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(0))
+        tx = make_optimizer(1e-3, 0.02, epochs=2, steps_per_epoch=4,
+                            flatten=False)
+        state = create_train_state(params, sn_state, tx,
+                                   jax.random.PRNGKey(1))
+        p_sh = param_shardings(mesh, state.params, min_shard_dim=64)
+        st_sh = state_shardings(mesh, state, p_sh, tx)
+        state = jax.device_put(state, st_sh)
+        step = jax.jit(make_train_step(cfg.model, tx, "cls",
+                                       dtype=jnp.float32, remat=False),
+                       out_shardings=(st_sh, replicated_sharding(mesh)))
+        sh = batch_sharding(mesh)
+        batch = {"image": jax.device_put(image, sh),
+                 "label": jax.device_put(label, sh)}
+        new_state, m = step(state, batch)
+        return float(m["loss"]), new_state
+
+    loss_tp, st_tp = run(4, 2)
+    loss_dp, st_dp = run(8, 1)
+    np.testing.assert_allclose(loss_tp, loss_dp, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_tp.params),
+                    jax.tree.leaves(st_dp.params)):
+        # fp32 reduction-order differences through Adam's rsqrt: observed
+        # max |diff| 1.2e-4 over the whole tree.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3,
+                                   atol=3e-4)
+
+
+def test_multihost_env_detection(monkeypatch):
+    from calm_vit_dte_tpu.train.trainer import _multihost_env_detected
+
+    for var in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _multihost_env_detected()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0")
+    assert not _multihost_env_detected()  # single-host TPU VM
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1,host-2")
+    assert _multihost_env_detected()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    assert _multihost_env_detected()
