@@ -14,8 +14,31 @@ accumulation mode overflows bf16 otherwise — see SURVEY.md hard-part 5).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from contextvars import ContextVar
+from typing import Callable
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time noise injection hook: when set, reparameterize() draws eps from
+# this callable (shape -> array) instead of jax.random. Used by the
+# train-mode parity tests to feed torch and JAX IDENTICAL Gaussian noise —
+# torch's Mersenne/Philox and JAX's threefry can never agree at equal seeds,
+# so cross-framework train parity is defined on fixed noise (see
+# docs/ADR-bitexact.md).
+_NOISE_OVERRIDE: ContextVar[Callable | None] = ContextVar(
+    "variational_noise_override", default=None)
+
+
+@contextmanager
+def noise_override(fn: Callable):
+    """Scope in which reparameterize() calls fn(shape) for its noise."""
+    token = _NOISE_OVERRIDE.set(fn)
+    try:
+        yield
+    finally:
+        _NOISE_OVERRIDE.reset(token)
 
 
 def softplus_var(var_raw: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -28,9 +51,14 @@ def reparameterize(key: jax.Array | None, mean: jax.Array, var: jax.Array, *,
     mean = mean.astype(jnp.float32)
     if not training:
         return mean
-    if key is None:
-        raise ValueError("training-mode reparameterization requires a PRNG key")
-    noise = jax.random.normal(key, var.shape, jnp.float32)
+    override = _NOISE_OVERRIDE.get()
+    if override is not None:
+        noise = jnp.asarray(override(var.shape), jnp.float32)
+    else:
+        if key is None:
+            raise ValueError(
+                "training-mode reparameterization requires a PRNG key")
+        noise = jax.random.normal(key, var.shape, jnp.float32)
     return mean + noise * var
 
 
