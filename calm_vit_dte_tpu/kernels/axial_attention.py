@@ -135,6 +135,23 @@ def _bdot(a, b, contract, batch=(0,), out_dtype=jnp.float32):
         preferred_element_type=out_dtype)
 
 
+def _rot_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _rope_rotate(x, cos, sin):
+    """x: (..., T, Dr); cos/sin: (T, Dr) broadcast over leading dims."""
+    return x * cos + _rot_half(x) * sin
+
+
+def _rope_rotate_vjp(g, cos, sin):
+    """VJP of _rope_rotate w.r.t. x: R^T = -R for the rotate-half map.
+    Used inline by the rope backward kernel; kept as the reference formula
+    for tests."""
+    return g * cos - _rot_half(g * sin)
+
+
 def _mask_fwd(ssum2d, w1t, b1, w2t, b2, dtype):
     """ssum2d: (Bt*Tq, S). Weights pre-transposed: w1t (S,2S), w2t (2S,S).
     Mosaic requires 32-bit matmul accumulators; fp32 accumulation + fp32
@@ -147,16 +164,11 @@ def _mask_fwd(ssum2d, w1t, b1, w2t, b2, dtype):
     return m, h1, a
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
-                o_ref, *, scale: float, dtype, use_mask: bool,
-                bt: int, h: int):
-    tq = q_ref.shape[2]
-    s = k_ref.shape[2]
-    d = q_ref.shape[3]
-    dv = v_ref.shape[3]
-    q = q_ref[:].reshape(bt * h, tq, d).astype(dtype)
-    k = k_ref[:].reshape(bt * h, s, d).astype(dtype)
-    v = v_ref[:].reshape(bt * h, s, dv).astype(dtype)
+def _fwd_body(q, k, v, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref, *,
+              scale: float, dtype, use_mask: bool, bt: int, h: int):
+    """Shared forward: q (bt*h, tq, d), k (bt*h, s, d), v (bt*h, s, dv),
+    already in compute dtype."""
+    tq, s, dv = q.shape[1], k.shape[1], v.shape[2]
     scores = _bdot(q, k, (((2,), (2,))))  # (Bt*H, Tq, S) fp32
     logits = scores * scale
     if use_mask:
@@ -170,12 +182,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
     o_ref[:] = out.reshape(bt, h, tq, dv).astype(dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                w1t_ref, w2t_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                *, scale: float, dtype, use_mask: bool, bt: int, h: int):
-    i_idx = pl.program_id(0)
-    j_idx = pl.program_id(1)
+def _fwd_kernel(q_ref, k_ref, v_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                o_ref, *, scale: float, dtype, use_mask: bool,
+                bt: int, h: int):
     tq = q_ref.shape[2]
     s = k_ref.shape[2]
     d = q_ref.shape[3]
@@ -183,7 +192,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     q = q_ref[:].reshape(bt * h, tq, d).astype(dtype)
     k = k_ref[:].reshape(bt * h, s, d).astype(dtype)
     v = v_ref[:].reshape(bt * h, s, dv).astype(dtype)
-    g = g_ref[:].reshape(bt * h, tq, dv).astype(dtype)
+    _fwd_body(q, k, v, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref, scale=scale,
+              dtype=dtype, use_mask=use_mask, bt=bt, h=h)
+
+
+def _bwd_core(q, k, v, g, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref, w2t_ref,
+              dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+              *, scale: float, dtype, use_mask: bool, bt: int, h: int):
+    """Shared backward math: recompute scores/mask/softmax, accumulate dv
+    and the mask-MLP weight grads into their refs, RETURN (dq_tile,
+    dk_contrib) as fp32 values for the caller to place/rotate/accumulate.
+    q (bt*h, tq, d), k (bt*h, s, d), v (bt*h, s, dv), g (bt*h, tq, dv)."""
+    i_idx = pl.program_id(0)
+    j_idx = pl.program_id(1)
+    tq, s = q.shape[1], k.shape[1]
+    d, dv = q.shape[2], v.shape[2]
 
     @pl.when(jnp.logical_and(i_idx == 0, j_idx == 0))
     def _():
@@ -194,7 +217,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
     @pl.when(j_idx == 0)
     def _():
-        dk_ref[:] = jnp.zeros_like(dk_ref)
         dv_ref[:] = jnp.zeros_like(dv_ref)
 
     # Recompute forward for this tile (flash-style).
@@ -242,10 +264,157 @@ def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    + dssum.reshape(bt, 1, tq, s)).reshape(bt * h, tq, s)
 
     ds = dscores.astype(dtype)
-    dq_ref[:] = _bdot(ds, k, (((2,), (1,))),
-                      out_dtype=jnp.float32).reshape(
-        bt, h, tq, d).astype(dtype)
-    dk_ref[:] += _bdot(ds, q, (((1,), (1,)))).reshape(bt, h, s, d)
+    dq = _bdot(ds, k, (((2,), (1,))), out_dtype=jnp.float32).reshape(
+        bt, h, tq, d)
+    dk_contrib = _bdot(ds, q, (((1,), (1,)))).reshape(bt, h, s, d)
+    return dq, dk_contrib
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                w1t_ref, w2t_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                *, scale: float, dtype, use_mask: bool, bt: int, h: int):
+    j_idx = pl.program_id(1)
+    tq = q_ref.shape[2]
+    s = k_ref.shape[2]
+    d = q_ref.shape[3]
+    dv = v_ref.shape[3]
+    q = q_ref[:].reshape(bt * h, tq, d).astype(dtype)
+    k = k_ref[:].reshape(bt * h, s, d).astype(dtype)
+    v = v_ref[:].reshape(bt * h, s, dv).astype(dtype)
+    g = g_ref[:].reshape(bt * h, tq, dv).astype(dtype)
+
+    @pl.when(j_idx == 0)
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+
+    dq, dk_contrib = _bwd_core(
+        q, k, v, g, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref, w2t_ref,
+        dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+        scale=scale, dtype=dtype, use_mask=use_mask, bt=bt, h=h)
+    dq_ref[:] = dq.astype(dtype)
+    dk_ref[:] += dk_contrib
+
+
+def _make_rope_kernels(has_content: bool, scale: float, dtype, use_mask: bool,
+                       bt: int, h: int):
+    """Kernels that apply RoPE (learned-frequency tables) and the
+    content/rope concat IN VMEM, so the rotated q/k never exist in HBM.
+
+    Forward inputs ordered: [qc, kc,] qr, kr, v, cos_q, sin_q, cos_k, sin_k,
+    mask weights. cos/sin blocks: q-side (tq, dr) indexed by the query tile,
+    k-side (s, dr) full.
+
+    The backward is ALSO fully in-kernel: it un-rotates the rope-slice
+    grads (R^T = -R) and accumulates the cos/sin TABLE grads (the
+    reference's RoPE frequencies are learned, Vi_Tools_CNN_less_V2.py:70-72)
+    into (S, Dr) outputs — done in XLA these epilogues cost ~40-60 ms/step
+    at batch 128 (hlo_stats: the 'neg' + 'reduce_sum' + slice_negate
+    fusions), dominated by re-reading q/k-sized tensors from HBM."""
+
+    def _build_parts(refs):
+        if has_content:
+            (qc_ref, kc_ref, qr_ref, kr_ref, v_ref,
+             cq_ref, sq_ref, ck_ref, sk_ref) = refs
+        else:
+            (qr_ref, kr_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref) = refs
+            qc_ref = kc_ref = None
+        qr = qr_ref[:].astype(dtype)
+        kr = kr_ref[:].astype(dtype)
+        cq = cq_ref[:].astype(dtype)
+        sq = sq_ref[:].astype(dtype)
+        ck = ck_ref[:].astype(dtype)
+        sk = sk_ref[:].astype(dtype)
+        qrot = _rope_rotate(qr, cq, sq)
+        krot = _rope_rotate(kr, ck, sk)
+        if has_content:
+            q = jnp.concatenate([qc_ref[:].astype(dtype), qrot], axis=-1)
+            k = jnp.concatenate([kc_ref[:].astype(dtype), krot], axis=-1)
+        else:
+            q, k = qrot, krot
+        tq = qr.shape[2]
+        s = kr.shape[2]
+        dv = v_ref.shape[3]
+        d = q.shape[-1]
+        v = v_ref[:].reshape(bt * h, s, dv).astype(dtype)
+        return (q.reshape(bt * h, tq, d), k.reshape(bt * h, s, d), v,
+                qr, kr, cq, sq, ck, sk)
+
+    n_in = 9 if has_content else 7
+
+    def fwd_kernel(*refs):
+        q, k, v = _build_parts(refs[:n_in])[:3]
+        w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref = refs[n_in:]
+        _fwd_body(q, k, v, w1t_ref, b1_ref, w2t_ref, b2_ref, o_ref,
+                  scale=scale, dtype=dtype, use_mask=use_mask, bt=bt, h=h)
+
+    def bwd_kernel(*refs):
+        q, k, v, qr, kr, cq, sq, ck, sk = _build_parts(refs[:n_in])
+        (w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref, w2t_ref,
+         g_ref) = refs[n_in:n_in + 7]
+        outs = refs[n_in + 7:-1]
+        dk_acc = refs[-1]  # VMEM scratch (bt, h, s, d) fp32
+        if has_content:
+            (dqc_ref, dqr_ref, dkc_ref, dkr_ref, dv_ref, dcq_ref, dsq_ref,
+             dck_ref, dsk_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = outs
+        else:
+            (dqr_ref, dkr_ref, dv_ref, dcq_ref, dsq_ref,
+             dck_ref, dsk_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = outs
+            dqc_ref = dkc_ref = None
+        i_idx = pl.program_id(0)
+        j_idx = pl.program_id(1)
+        n_j = pl.num_programs(1)
+        bt_, h_, tq, dr = qr.shape
+        s = kr.shape[2]
+        dc = q.shape[-1] - dr
+        dvd = g_ref.shape[3]
+        g = g_ref[:].reshape(bt * h, tq, dvd).astype(dtype)
+
+        @pl.when(jnp.logical_and(i_idx == 0, j_idx == 0))
+        def _():
+            dcq_ref[:] = jnp.zeros_like(dcq_ref)
+            dsq_ref[:] = jnp.zeros_like(dsq_ref)
+            dck_ref[:] = jnp.zeros_like(dck_ref)
+            dsk_ref[:] = jnp.zeros_like(dsk_ref)
+
+        @pl.when(j_idx == 0)
+        def _():
+            dk_acc[:] = jnp.zeros_like(dk_acc)
+
+        dq, dk_contrib = _bwd_core(
+            q, k, v, g, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref, w2t_ref,
+            dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+            scale=scale, dtype=dtype, use_mask=use_mask, bt=bt, h=h)
+
+        # q side: final per tile — un-rotate and form table-grad rows.
+        gqr = dq[..., dc:]                      # (bt, h, tq, dr) fp32
+        if has_content:
+            dqc_ref[:] = dq[..., :dc].astype(dtype)
+        gqr_c = gqr.astype(dtype)
+        dqr_ref[:] = (gqr_c * cq - _rot_half(gqr_c * sq)).astype(dtype)
+        qr32 = qr.astype(jnp.float32)
+        dcq_ref[pl.ds(j_idx * tq, tq), :] += jnp.sum(
+            qr32 * gqr, axis=(0, 1))
+        dsq_ref[pl.ds(j_idx * tq, tq), :] += jnp.sum(
+            _rot_half(qr32) * gqr, axis=(0, 1))
+
+        # k side: accumulate over query tiles, un-rotate at the last one.
+        dk_acc[:] += dk_contrib
+
+        @pl.when(j_idx == n_j - 1)
+        def _():
+            dk_full = dk_acc[:]
+            gkr = dk_full[..., dc:]             # (bt, h, s, dr) fp32
+            if has_content:
+                dkc_ref[:] = dk_full[..., :dc]
+            gkr_c = gkr.astype(dtype)
+            dkr_ref[:] = (gkr_c * ck - _rot_half(gkr_c * sk)).astype(
+                jnp.float32)
+            kr32 = kr.astype(jnp.float32)
+            dck_ref[:] += jnp.sum(kr32 * gkr, axis=(0, 1))
+            dsk_ref[:] += jnp.sum(_rot_half(kr32) * gkr, axis=(0, 1))
+
+    return fwd_kernel, bwd_kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -369,6 +538,198 @@ def fused_masked_attention(q, k, v, w1, b1, w2, b2, *, scale: float, dtype,
     fused = _make_fused(scale, jnp.dtype(dtype).name, True,
                         (b, h, s, d, dv, s2), interpret)
     return fused(q, k, v, w1, b1.reshape(1, s2), w2, b2.reshape(1, s))
+
+
+def rope_supported(b: int, h: int, sq: int, skv: int, dc: int,
+                   dr: int) -> bool:
+    return sq == skv and _pick_tiles(b, h, sq, dc + dr, dc + dr) is not None
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rope_fused(scale: float, dtype_name: str, use_mask: bool,
+                     has_content: bool, shapes: tuple,
+                     interpret: bool = False):
+    """fused attention with IN-KERNEL RoPE rotation (+ content concat).
+
+    The rotated q/k and the concatenated (content ++ rope) head tensors
+    never exist in HBM — the XLA path materializes both per layer
+    (models/vmla.py round-trips ~30-40 ms/step at batch 128 on them). The
+    backward kernel emits dq/dk over the concatenated dim; the rope-slice
+    un-rotation (R^T = -R) and the cos/sin table grads (needed because the
+    reference's RoPE frequencies are LEARNED, Vi_Tools_CNN_less_V2.py:70-72)
+    are cheap XLA elementwise/reduction epilogues in the wrapper."""
+    dtype = jnp.dtype(dtype_name)
+    b, h, s, dc, dr, dv, s2 = shapes
+    d = dc + dr
+    tiles = _pick_tiles(b, h, s, d, dv)
+    if tiles is None:
+        raise ValueError(f"no feasible tiling for B={b}, H={h}, S={s}")
+    bt, tq = tiles
+    grid = (b // bt, s // tq)
+
+    def q_tile(shape_d):
+        return pl.BlockSpec((bt, h, tq, shape_d),
+                            lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kv_full(shape_d):
+        return pl.BlockSpec((bt, h, s, shape_d),
+                            lambda i, j: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    # q-side tables follow the query tile; k-side tables are full-length.
+    tab_q = pl.BlockSpec((tq, dr), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM)
+    tab_k = const((s, dr))
+
+    qk_specs = ([q_tile(dc), kv_full(dc)] if has_content else []) + [
+        q_tile(dr), kv_full(dr), kv_full(dv), tab_q, tab_q, tab_k, tab_k]
+    mask_w_fwd = [const((s, s2)), const((1, s2)), const((s2, s)),
+                  const((1, s))]
+    params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    flops_f = 2 * b * h * s * s * (d + dv) + 4 * b * s * s * s2
+
+    fwd_kernel, bwd_kernel = _make_rope_kernels(
+        has_content, scale, dtype, use_mask, bt, h)
+
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid=grid,
+        in_specs=qk_specs + mask_w_fwd,
+        out_specs=q_tile(dv),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dv), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_f,
+            bytes_accessed=4 * b * h * s * (2 * d + 2 * dv),
+            transcendentals=b * h * s * s + b * s * s2),
+        compiler_params=params,
+        interpret=interpret,
+    )
+
+    grad_out_specs = ([q_tile(dc)] if has_content else []) + [q_tile(dr)] \
+        + ([kv_full(dc)] if has_content else []) + [
+        kv_full(dr), kv_full(dv),
+        const((s, dr)), const((s, dr)), const((s, dr)), const((s, dr)),
+        const((s2, s)), const((1, s2)), const((s, s2)), const((1, s))]
+    grad_out_shapes = (
+        ([jax.ShapeDtypeStruct((b, h, s, dc), dtype)] if has_content
+         else []) + [jax.ShapeDtypeStruct((b, h, s, dr), dtype)]
+        + ([jax.ShapeDtypeStruct((b, h, s, dc), jnp.float32)]
+           if has_content else []) + [
+            jax.ShapeDtypeStruct((b, h, s, dr), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, dv), jnp.float32),
+            jax.ShapeDtypeStruct((s, dr), jnp.float32),
+            jax.ShapeDtypeStruct((s, dr), jnp.float32),
+            jax.ShapeDtypeStruct((s, dr), jnp.float32),
+            jax.ShapeDtypeStruct((s, dr), jnp.float32),
+            jax.ShapeDtypeStruct((s2, s), jnp.float32),
+            jax.ShapeDtypeStruct((1, s2), jnp.float32),
+            jax.ShapeDtypeStruct((s, s2), jnp.float32),
+            jax.ShapeDtypeStruct((1, s), jnp.float32)])
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid=grid,
+        in_specs=qk_specs + [const((s2, s)), const((1, s2)),
+                             const((s, s2)), const((1, s)),
+                             const((s, s2)), const((s2, s)),
+                             q_tile(dv)],
+        out_specs=tuple(grad_out_specs),
+        out_shape=tuple(grad_out_shapes),
+        scratch_shapes=[pltpu.VMEM((bt, h, s, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * flops_f,
+            bytes_accessed=12 * b * h * s * (d + dv),
+            transcendentals=b * h * s * s + b * s * s2),
+        compiler_params=params,
+        interpret=interpret,
+    )
+
+    if has_content:
+        @jax.custom_vjp
+        def fused(qc, kc, qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2):
+            return fwd_call(qc, kc, qr, kr, v, cq, sq, ck, sk,
+                            w1.T, b1, w2.T, b2)
+
+        def fused_fwd(qc, kc, qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2):
+            return (fwd_call(qc, kc, qr, kr, v, cq, sq, ck, sk,
+                             w1.T, b1, w2.T, b2),
+                    (qc, kc, qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2))
+
+        def fused_bwd(res, g):
+            qc, kc, qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2 = res
+            (dqc, dqr, dkc, dkr, dvv, dcq, dsq, dck, dsk,
+             dw1, db1, dw2, db2) = bwd_call(
+                qc, kc, qr, kr, v, cq, sq, ck, sk,
+                w1, b1, w2, b2, w1.T, w2.T, g)
+            return (dqc.astype(qc.dtype), dkc.astype(kc.dtype),
+                    dqr.astype(qr.dtype), dkr.astype(kr.dtype),
+                    dvv.astype(v.dtype),
+                    dcq.astype(cq.dtype), dsq.astype(sq.dtype),
+                    dck.astype(ck.dtype), dsk.astype(sk.dtype),
+                    dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                    dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    else:
+        @jax.custom_vjp
+        def fused(qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2):
+            return fwd_call(qr, kr, v, cq, sq, ck, sk, w1.T, b1, w2.T, b2)
+
+        def fused_fwd(qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2):
+            return (fwd_call(qr, kr, v, cq, sq, ck, sk, w1.T, b1, w2.T, b2),
+                    (qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2))
+
+        def fused_bwd(res, g):
+            qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2 = res
+            (dqr, dkr, dvv, dcq, dsq, dck, dsk,
+             dw1, db1, dw2, db2) = bwd_call(
+                qr, kr, v, cq, sq, ck, sk, w1, b1, w2, b2, w1.T, w2.T, g)
+            return (dqr.astype(qr.dtype), dkr.astype(kr.dtype),
+                    dvv.astype(v.dtype),
+                    dcq.astype(cq.dtype), dsq.astype(sq.dtype),
+                    dck.astype(ck.dtype), dsk.astype(sk.dtype),
+                    dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                    dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def fused_rope_attention(qc, qr, kc, kr, v, cos_q, sin_q, cos_k, sin_k,
+                         w1, b1, w2, b2, *, scale: float, dtype,
+                         use_mask: bool = True, interpret: bool = False):
+    """Fused attention with in-kernel RoPE (+ optional content concat).
+
+    qr, kr: (B,H,S,Dr) raw (un-rotated) rope projections; qc, kc:
+    (B,H,S,Dc) content halves or None (full-dim rotation, the non-reduce
+    VMLA layers); cos/sin: (S,Dr) fp32 tables from the learned frequencies.
+    Returns (B,H,S,Dv) in `dtype`. Reference chain being fused:
+    Vi_Tools_CNN_less_V2.py:274-298 (rotate, concat, mask MLP, SDPA)."""
+    has_content = qc is not None
+    b, h, s, dr = qr.shape
+    dc = qc.shape[-1] if has_content else 0
+    dv = v.shape[-1]
+    s2 = 2 * s
+    qr = qr.astype(dtype)
+    kr = kr.astype(dtype)
+    v = v.astype(dtype)
+    if not use_mask:
+        w1 = jnp.zeros((s2, s), jnp.float32)
+        b1 = jnp.zeros((s2,), jnp.float32)
+        w2 = jnp.zeros((s, s2), jnp.float32)
+        b2 = jnp.zeros((s,), jnp.float32)
+    fused = _make_rope_fused(scale, jnp.dtype(dtype).name, use_mask,
+                             has_content, (b, h, s, dc, dr, dv, s2),
+                             interpret)
+    b1 = b1.reshape(1, s2)
+    b2 = b2.reshape(1, s)
+    if has_content:
+        return fused(qc.astype(dtype), kc.astype(dtype), qr, kr, v,
+                     cos_q, sin_q, cos_k, sin_k, w1, b1, w2, b2)
+    return fused(qr, kr, v, cos_q, sin_q, cos_k, sin_k, w1, b1, w2, b2)
 
 
 @functools.lru_cache(maxsize=None)

@@ -10,12 +10,19 @@ Fused, the hidden channels never leave VMEM: HBM traffic is exactly
 x in + y out. FLOPs are trivial (tiny channel counts) — the op is purely
 bandwidth-bound, so the win is the traffic ratio (~5x per direction).
 
-Grid: (B/Bt,). Per step the full (Bt, S, S, 3) image tile and its 32-channel
-hidden live in VMEM. The depthwise 3x3 runs as 9 statically-shifted
-multiply-accumulates on a zero-padded copy.
+Layout: the kernel operates CHANNELS-LEADING (B, C, S, S). With channels
+minor (NHWC) Mosaic pads the 3/32-channel lane dim to 128, inflating VMEM
+42x/4x — that layout capped batch tiles at 2 and made the kernel lose to
+XLA end-to-end. Channels-leading, the (rows, cols) planes fill the
+(sublane, lane) tile and the hidden is stored dense, so full-image batch
+tiles fit in VMEM at every stage (S=80..224) and all channel arithmetic
+vectorizes across leading dims. The wrapper transposes NHWC<->NCHW in XLA
+(one x-sized round trip, ~38 MB at B=128/S=224 vs the ~1 GB/direction
+saved).
 
-Backward recomputes the forward per tile and emits dx per tile plus weight
-grads accumulated across the sequential grid.
+Grid: (B/Bt,) with standard BlockSpec pipelining (auto double-buffered
+DMA). Backward recomputes the forward per tile and emits dx per tile plus
+weight grads accumulated across the sequential grid.
 """
 
 from __future__ import annotations
@@ -29,36 +36,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HIDDEN = 32
-_VMEM_LIMIT = 110 * 1024 * 1024
-_TILE_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 120 * 1024 * 1024
+_TILE_BUDGET = 72 * 1024 * 1024
 
 
-def _pick_bt(b: int, s: int) -> int | None:
-    # bt capped at 2: bt=4 at S=80 crashed the axon remote compile helper
-    # (empirical sweep; bt<=2 compiles and runs).
-    for bt in (2, 1):
+def _lane_pad(s: int) -> int:
+    return ((s + 127) // 128) * 128
+
+
+def _pick_bt(b: int, s: int, *, bwd: bool) -> int | None:
+    # Live VMEM per batch element: ~6 (fwd) / ~9 (bwd) channels-leading
+    # (HIDDEN, S, S) planes counting fp32 accumulators and transients,
+    # x1.5 Mosaic slack.  Lane dim padded to 128.
+    per_elem = HIDDEN * s * _lane_pad(s) * (9 * 4 if bwd else 6 * 4)
+    per_elem = int(per_elem * 1.5)
+    for bt in (8, 4, 2, 1):
         if b % bt:
             continue
-        # ~4 live (Bt,S+2,S+2,32) fp32-ish copies, x3 Mosaic slack.
-        est = 3 * 4 * 4 * bt * (s + 2) * (s + 2) * HIDDEN
-        if est <= _TILE_BUDGET:
+        if bt * per_elem <= _TILE_BUDGET:
             return bt
     return None
 
 
 def supported(b: int, s: int) -> bool:
-    # OFF on the training path: measured end-to-end, fusing only the
-    # feasible stages (S<=128 — S=176 crashes the axon remote compiler,
-    # S=224 exceeds VMEM) made the step SLOWER (392 ms vs 314 ms at batch
-    # 128): at Bt<=2 the small-S kernels run 64+ sequential grid steps and
-    # are launch-bound, losing more than the saved HBM traffic. Needs
-    # larger batch tiles (blocked on the remote-compiler crash) or spatial
-    # tiling to win. Kernel + oracle tests kept as groundwork.
+    # OFF on the training path: the channels-leading rewrite is
+    # interpret-verified, but on-chip the Mosaic compile currently crashes
+    # the axon remote-compile helper (HTTP 500) at S=80/128 and the
+    # flagship S=176/224 tiles need row tiling to fit VMEM. Tracked in
+    # NOTES.md; flip once the kernel beats the XLA chain end-to-end.
     return False
 
 
 def _supported_ungated(b: int, s: int) -> bool:
-    return _pick_bt(b, s) is not None
+    return (_pick_bt(b, s, bwd=False) is not None
+            and _pick_bt(b, s, bwd=True) is not None)
 
 
 def _erf(x):
@@ -81,61 +92,55 @@ def _dgelu(x):
     return cdf + x * phi
 
 
-def _dw3x3_into(acc_ref, h, w, *, flip: bool = False):
-    """Depthwise 3x3 with zero padding, accumulated INTO a VMEM scratch ref.
+def _conv_in(x, w1, b1, dtype):
+    """x (bt,3,S,S) -> gelu(1x1 conv) (bt,32,S,S) in `dtype`.
+    Channel-unrolled: 3 broadcasted fma planes, vectorized over the 32
+    output channels via the leading dim."""
+    a1 = (x[:, 0:1].astype(jnp.float32) * w1[:, 0][None, :, None, None]
+          + x[:, 1:2].astype(jnp.float32) * w1[:, 1][None, :, None, None]
+          + x[:, 2:3].astype(jnp.float32) * w1[:, 2][None, :, None, None]
+          + b1[0][None, :, None, None])
+    return a1, _gelu(a1).astype(dtype)
 
-    Static slices (Mosaic has no dynamic_slice lowering) but sequential
-    ref accumulation: an SSA sum of 9 products keeps every tap's buffer
-    live simultaneously — Mosaic's scoped VMEM blew up to 114 MB at
-    Bt=1/S=128 that way. flip=True gives the transposed (correlation)
-    taps for the backward."""
-    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    s = h.shape[1]
-    first = True
+
+def _dw3x3(h, wd, bd, *, flip: bool = False):
+    """Depthwise 3x3, zero padded. h (bt,32,S,S) -> fp32 (bt,32,S,S).
+    Rows are sublane shifts, cols lane shifts of the padded copy; the
+    per-channel tap scale broadcasts over the leading channel dim."""
+    s = h.shape[2]
+    hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    acc = bd[0][None, :, None, None] * jnp.ones(
+        (h.shape[0], HIDDEN, s, s), jnp.float32)
     for a in range(3):
         for b in range(3):
             sa, sb = (2 - a, 2 - b) if flip else (a, b)
-            prod = (hp[:, sa:sa + s, sb:sb + s, :].astype(jnp.float32)
-                    * w[a, b])
-            if first:
-                acc_ref[:] = prod
-                first = False
-            else:
-                acc_ref[:] += prod
+            acc = acc + (hp[:, :, sa:sa + s, sb:sb + s].astype(jnp.float32)
+                         * wd[a, b][None, :, None, None])
+    return acc
 
 
-def _conv1x1(x, w, b, out_c):
-    """x: (...,Cin) x w: (Cout,Cin) -> (...,Cout). One pixel-flattened
-    matmul: K<=32 wastes MXU lanes but the FLOPs are trivial, and a
-    channel-unrolled VPU version keeps Cin product buffers live."""
-    flat = x.reshape(-1, x.shape[-1])
-    y = jnp.dot(flat, w.T.astype(x.dtype),
-                preferred_element_type=jnp.float32)
-    return y.reshape(x.shape[:-1] + (out_c,)) + b
-
-
-def _fwd_parts(x, w1, b1, wd, bd, w2, b2, dtype, acc_ref):
-    a1 = _conv1x1(x, w1, b1, HIDDEN)            # (Bt,S,S,32) fp32
-    h = _gelu(a1).astype(dtype)
-    _dw3x3_into(acc_ref, h, wd)
-    a2 = acc_ref[:] + bd
-    d = _gelu(a2).astype(dtype)
-    y = _conv1x1(d, w2, b2, 3)
-    return a1, h, a2, d, y
+def _conv_out(d, w2, b2, dtype):
+    """d (bt,32,S,S) -> (bt,3,S,S): per-output-channel weighted reduction
+    over the leading hidden dim."""
+    outs = [jnp.sum(d.astype(jnp.float32)
+                    * w2[co][None, :, None, None], axis=1)
+            + b2[0, co]
+            for co in range(3)]
+    return jnp.stack(outs, axis=1).astype(dtype)
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
-                y_ref, acc_ref, *, dtype):
-    x = x_ref[:].astype(dtype)
-    _, _, _, _, y = _fwd_parts(x, w1_ref[:], b1_ref[:], wd_ref[:],
-                               bd_ref[:], w2_ref[:], b2_ref[:], dtype,
-                               acc_ref)
-    y_ref[:] = y.astype(dtype)
+                y_ref, *, dtype):
+    x = x_ref[:]
+    _, h = _conv_in(x, w1_ref[:], b1_ref[:], dtype)
+    a2 = _dw3x3(h, wd_ref[:], bd_ref[:])
+    d = _gelu(a2).astype(dtype)
+    y_ref[:] = _conv_out(d, w2_ref[:], b2_ref[:], dtype)
 
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
                 g_ref, dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref,
-                dw2_ref, db2_ref, acc_ref, acc2_ref, *, dtype):
+                dw2_ref, db2_ref, *, dtype):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -147,64 +152,62 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
-    x = x_ref[:].astype(dtype)
+    x = x_ref[:]
     w1 = w1_ref[:]
     wd = wd_ref[:]
     w2 = w2_ref[:]
-    a1, h, a2, d, _ = _fwd_parts(x, w1, b1_ref[:], wd, bd_ref[:], w2,
-                                 b2_ref[:], dtype, acc_ref)
-    g = g_ref[:].astype(jnp.float32)  # (Bt,S,S,3)
+    s = x.shape[2]
 
-    # y = d @ w2^T + b2  (per-pixel):  dd = g @ w2
-    dd = jnp.dot(g.reshape(-1, 3).astype(dtype), w2.astype(dtype),
-                 preferred_element_type=jnp.float32).reshape(d.shape)
-    gd = g.astype(dtype)
-    dc = d.astype(dtype)
-    # dw2[c,k] = sum_pixels g[c] * d[k]
-    g2 = gd.reshape(-1, 3)
-    d2 = dc.reshape(-1, HIDDEN)
-    dw2_ref[:] += jax.lax.dot_general(
-        g2, d2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db2_ref[:] += jnp.sum(g, axis=(0, 1, 2), keepdims=False).reshape(1, 3)
+    a1, h = _conv_in(x, w1, b1_ref[:], dtype)
+    a2 = _dw3x3(h, wd, bd_ref[:])
+    d = _gelu(a2).astype(dtype)
+    g = g_ref[:]  # (bt,3,S,S)
+
+    # y[co] = sum_k d[k]*w2[co,k] + b2  =>  dd[k] = sum_co g[co]*w2[co,k]
+    g32 = g.astype(jnp.float32)
+    dd = (g32[:, 0:1] * w2[0][None, :, None, None]
+          + g32[:, 1:2] * w2[1][None, :, None, None]
+          + g32[:, 2:3] * w2[2][None, :, None, None])
+    for co in range(3):
+        dw2_ref[co, :] += jnp.sum(g32[:, co:co + 1] * d.astype(jnp.float32),
+                                  axis=(0, 2, 3)).reshape(HIDDEN)
+    db2_ref[:] += jnp.sum(g32, axis=(0, 2, 3)).reshape(1, 3)
 
     da2 = dd * _dgelu(a2)
-    dbd_ref[:] += jnp.sum(da2, axis=(0, 1, 2)).reshape(1, HIDDEN)
-    # dwd[a,b,k] = sum da2[i,j,k] * h[i+a-1, j+b-1, k]: static taps,
-    # accumulated straight into the grid-accumulated output ref.
-    s = x.shape[1]
-    hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dbd_ref[:] += jnp.sum(da2, axis=(0, 2, 3)).reshape(1, HIDDEN)
+    # dwd[a,b,k] = sum_pixels da2[k,i,j] * h[k, i+a-1, j+b-1]
+    hp32 = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1))).astype(jnp.float32)
     for a in range(3):
         for b in range(3):
-            prod = da2 * hp[:, a:a + s, b:b + s, :].astype(jnp.float32)
-            dwd_ref[a, b, :] += jnp.sum(prod, axis=(0, 1, 2))
-    # dh = transposed depthwise conv (flipped taps), into scratch.
-    _dw3x3_into(acc2_ref, da2.astype(dtype), wd, flip=True)
-    dh = acc2_ref[:]
+            dwd_ref[a, b, :] += jnp.sum(
+                da2 * hp32[:, :, a:a + s, b:b + s], axis=(0, 2, 3))
+    # dh = transposed depthwise conv (flipped taps), no bias.
+    dh = _dw3x3(da2.astype(dtype), wd, jnp.zeros_like(bd_ref[:]), flip=True)
 
     da1 = dh * _dgelu(a1)
-    db1_ref[:] += jnp.sum(da1, axis=(0, 1, 2)).reshape(1, HIDDEN)
-    # dw1[k,c] = sum da1[k] * x[c]
-    da1c = da1.astype(dtype)
-    dw1_ref[:] += jax.lax.dot_general(
-        da1c.reshape(-1, HIDDEN), x.reshape(-1, 3),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    # dx = da1 @ w1
-    dx = jnp.dot(da1c.reshape(-1, HIDDEN), w1.astype(dtype),
-                 preferred_element_type=jnp.float32)
-    dx_ref[:] = dx.reshape(x.shape).astype(dtype)
+    db1_ref[:] += jnp.sum(da1, axis=(0, 2, 3)).reshape(1, HIDDEN)
+    x32 = x.astype(jnp.float32)
+    for ci in range(3):
+        dw1_ref[:, ci] += jnp.sum(da1 * x32[:, ci:ci + 1], axis=(0, 2, 3))
+    # dx[ci] = sum_k da1[k] * w1[k,ci]
+    dx = jnp.stack(
+        [jnp.sum(da1 * w1[:, ci][None, :, None, None], axis=1)
+         for ci in range(3)], axis=1)
+    dx_ref[:] = dx.astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
     dtype = jnp.dtype(dtype_name)
     b, s = shapes
-    bt = _pick_bt(b, s)
-    if bt is None:
+    bt_f = _pick_bt(b, s, bwd=False)
+    bt_b = _pick_bt(b, s, bwd=True)
+    if bt_f is None or bt_b is None:
         raise ValueError(f"no feasible batch tile for B={b}, S={s}")
 
-    x_tile = pl.BlockSpec((bt, s, s, 3), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
+    def x_tile(bt):
+        return pl.BlockSpec((bt, 3, s, s), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     def const(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -216,15 +219,12 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
     params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     traffic = 2 * 2 * b * s * s * 3
 
-    acc = pltpu.VMEM((bt, s, s, HIDDEN), jnp.float32)
-
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, dtype=dtype),
-        grid=(b // bt,),
-        in_specs=[x_tile] + w_specs,
-        out_specs=x_tile,
-        out_shape=jax.ShapeDtypeStruct((b, s, s, 3), dtype),
-        scratch_shapes=[acc],
+        grid=(b // bt_f,),
+        in_specs=[x_tile(bt_f)] + w_specs,
+        out_specs=x_tile(bt_f),
+        out_shape=jax.ShapeDtypeStruct((b, 3, s, s), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s * s * HIDDEN * (3 + 9 + 3),
             bytes_accessed=traffic, transcendentals=2 * b * s * s * HIDDEN),
@@ -232,13 +232,13 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
 
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, dtype=dtype),
-        grid=(b // bt,),
-        in_specs=[x_tile] + w_specs + [x_tile],
-        out_specs=(x_tile, const((HIDDEN, 3)), const((1, HIDDEN)),
+        grid=(b // bt_b,),
+        in_specs=[x_tile(bt_b)] + w_specs + [x_tile(bt_b)],
+        out_specs=(x_tile(bt_b), const((HIDDEN, 3)), const((1, HIDDEN)),
                    const((3, 3, HIDDEN)), const((1, HIDDEN)),
                    const((3, HIDDEN)), const((1, 3))),
         out_shape=(
-            jax.ShapeDtypeStruct((b, s, s, 3), dtype),
+            jax.ShapeDtypeStruct((b, 3, s, s), dtype),
             jax.ShapeDtypeStruct((HIDDEN, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, HIDDEN), jnp.float32),
             jax.ShapeDtypeStruct((3, 3, HIDDEN), jnp.float32),
@@ -246,7 +246,6 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
             jax.ShapeDtypeStruct((3, HIDDEN), jnp.float32),
             jax.ShapeDtypeStruct((1, 3), jnp.float32),
         ),
-        scratch_shapes=[acc, acc],
         cost_estimate=pl.CostEstimate(
             flops=6 * b * s * s * HIDDEN * (3 + 9 + 3),
             bytes_accessed=2 * traffic,
@@ -282,5 +281,7 @@ def fused_conv_residual(x, w1, b1, wd, bd, w2, b2, *, dtype,
     (B,S,S,3) in `dtype`."""
     b, s, _, _ = x.shape
     fused = _make_fused(jnp.dtype(dtype).name, (b, s), interpret)
-    return fused(x.astype(dtype), w1, b1.reshape(1, HIDDEN), wd,
-                 bd.reshape(1, HIDDEN), w2, b2.reshape(1, 3))
+    x_cl = jnp.transpose(x.astype(dtype), (0, 3, 1, 2))
+    y = fused(x_cl, w1, b1.reshape(1, HIDDEN), wd,
+              bd.reshape(1, HIDDEN), w2, b2.reshape(1, 3))
+    return jnp.transpose(y, (0, 2, 3, 1))

@@ -34,9 +34,9 @@ import jax.numpy as jnp
 
 from calm_vit_dte_tpu.nn.linear import sn_linear_init, sn_linear_apply
 from calm_vit_dte_tpu.nn.norm import layer_norm_init, layer_norm_apply
-from calm_vit_dte_tpu.ops.attention import masked_attention
+from calm_vit_dte_tpu.ops.attention import masked_rope_attention
 from calm_vit_dte_tpu.ops.latent_state import LatentState
-from calm_vit_dte_tpu.ops.rope import rope_init, rope_apply
+from calm_vit_dte_tpu.ops.rope import rope_init
 from calm_vit_dte_tpu.ops.variational import softplus_var, reparameterize
 
 
@@ -294,19 +294,19 @@ def vmla_apply(cfg: VMLAConfig, params: dict, state: dict,
     k = _split_heads(outs["k_proj"], cfg.heads, content_dim)
     v = _split_heads(outs["v_proj"], cfg.heads, cfg.head_dim)
 
+    # RoPE rotation and content++rope concat happen inside the attention op
+    # (in VMEM on the fused TPU path; reference chain at
+    # Vi_Tools_CNN_less_V2.py:274-285 materializes both).
     if cfg.reduce:
         qr = _split_heads(outs["qr_proj"], cfg.heads, cfg.head_dim_rope)
         kr = _split_heads(outs["kr_proj"], cfg.heads, cfg.head_dim_rope)
-        q = jnp.concatenate(
-            [q, rope_apply(params["rope_q"], qr, dtype)], axis=-1)
-        k = jnp.concatenate(
-            [k, rope_apply(params["rope_k"], kr, dtype)], axis=-1)
+        qc, kc = q, k
     else:
-        q = rope_apply(params["rope_q"], q, dtype)
-        k = rope_apply(params["rope_k"], k, dtype)
-
-    attn, new_state["linear_mask"] = masked_attention(
-        q, k, v, params.get("linear_mask"), state.get("linear_mask"),
+        qr, kr = q, k
+        qc = kc = None
+    attn, new_state["linear_mask"] = masked_rope_attention(
+        qc, qr, kc, kr, v, params["rope_q"], params["rope_k"],
+        params.get("linear_mask"), state.get("linear_mask"),
         training=training, dtype=dtype, use_mask=use_mask)
     x = _merge_heads(attn)
     x, new_state["out_proj"] = sn_linear_apply(

@@ -240,3 +240,63 @@ def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     # attention kernels (train/step.py remat policy).
     out = checkpoint_name(out, "attn_out")
     return out, new_mask_state
+
+
+def masked_rope_attention(qc, qr, kc, kr, v, rope_q: dict, rope_k: dict,
+                          mask_params: dict | None, mask_state: dict | None,
+                          *, training: bool, dtype,
+                          use_mask: bool = True) -> tuple[jax.Array, dict]:
+    """Attention taking the PRE-rotation rope projections.
+
+    qr, kr: (B,H,S,Dr) un-rotated rope halves; qc, kc: (B,H,S,Dc) content
+    halves or None (full-dim rotation — the non-reduce VMLA layers);
+    rope_q/rope_k: learned-frequency RoPE param dicts. On TPU this dispatches
+    to the fused kernel that rotates and concatenates IN VMEM
+    (kernels/axial_attention.fused_rope_attention); elsewhere (and under an
+    attention_impl override) it builds q/k in XLA exactly as the reference
+    does (Vi_Tools_CNN_less_V2.py:274-285) and defers to masked_attention,
+    keeping oracle math bit-identical to the unfused path.
+    """
+    from calm_vit_dte_tpu.ops.rope import rope_apply, rope_tables
+
+    b, h, sq, dr = qr.shape
+    skv = kr.shape[2]
+    dc = qc.shape[-1] if qc is not None else 0
+    d = dc + dr
+
+    impl, _ = _pick_impl(b, h, sq, skv, d)
+    if impl == "pallas":
+        from jax.ad_checkpoint import checkpoint_name
+
+        from calm_vit_dte_tpu.kernels.axial_attention import (
+            fused_rope_attention,
+        )
+
+        new_mask_state = mask_state
+        w1 = b1 = w2 = b2 = None
+        if use_mask:
+            w1, st1 = spectral_normalize(mask_params["fc1"]["w"],
+                                         mask_state["fc1"],
+                                         training=training)
+            w2, st2 = spectral_normalize(mask_params["fc2"]["w"],
+                                         mask_state["fc2"],
+                                         training=training)
+            b1 = mask_params["fc1"]["b"]
+            b2 = mask_params["fc2"]["b"]
+            new_mask_state = {"fc1": st1, "fc2": st2}
+        cos_q, sin_q = rope_tables(rope_q, sq)
+        cos_k, sin_k = rope_tables(rope_k, skv)
+        out = fused_rope_attention(
+            qc, qr, kc, kr, v, cos_q, sin_q, cos_k, sin_k, w1, b1, w2, b2,
+            scale=1.0 / math.sqrt(d), dtype=dtype, use_mask=use_mask)
+        return checkpoint_name(out, "attn_out"), new_mask_state
+
+    # Fallback: rotate/concat in XLA (reference math), standard dispatch.
+    q = rope_apply(rope_q, qr, dtype)
+    k = rope_apply(rope_k, kr, dtype)
+    if qc is not None:
+        q = jnp.concatenate([qc.astype(dtype), q], axis=-1)
+        k = jnp.concatenate([kc.astype(dtype), k], axis=-1)
+    return masked_attention(q, k, v, mask_params, mask_state,
+                            training=training, dtype=dtype,
+                            use_mask=use_mask)

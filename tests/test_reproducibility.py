@@ -60,9 +60,11 @@ def test_bf16_forward_finite():
     assert np.isfinite(float(kl))
 
 
-def test_hoisted_spectral_norm_bit_identical():
+def test_hoisted_spectral_norm_matches_in_model():
     """normalize_tree + prenormalized_scope (the train-step fast path) must
-    match in-model spectral norm exactly, including the u/v updates."""
+    match in-model spectral norm, including the u/v updates. normalize_tree
+    BATCHES same-shape power iterations, which permutes fp32 reduction
+    order, so the comparison is tight-tolerance rather than bit-equal."""
     from calm_vit_dte_tpu.nn.spectral_norm import (
         normalize_tree,
         prenormalized_scope,
@@ -83,7 +85,8 @@ def test_hoisted_spectral_norm_bit_identical():
         return y, kl, ns
 
     y2, kl2, st2 = jax.jit(hoisted)(params, state, x, r)
-    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
-    np.testing.assert_array_equal(float(kl1), float(kl2))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(float(kl1), float(kl2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
