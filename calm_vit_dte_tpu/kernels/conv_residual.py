@@ -6,23 +6,26 @@ the image-shaped (B, S, S, 3) view of the row tokens, result added back.
 
 In XLA this chain makes ~5 HBM round trips of the (B, S, S, 32) hidden
 tensor per direction (at batch 128 / S 224 that tensor is 411 MB in bf16).
-Fused, the hidden channels never leave VMEM: HBM traffic is exactly
-x in + y out. FLOPs are trivial (tiny channel counts) — the op is purely
-bandwidth-bound, so the win is the traffic ratio (~5x per direction).
+Fused, the hidden channels never leave the chip at all: HBM traffic is
+exactly x in + y out (~150x less at S=224). FLOPs are trivial (tiny channel
+counts) — the op is purely bandwidth-bound, so the win is the traffic
+ratio.
 
-Layout: the kernel operates CHANNELS-LEADING (B, C, S, S). With channels
-minor (NHWC) Mosaic pads the 3/32-channel lane dim to 128, inflating VMEM
-42x/4x — that layout capped batch tiles at 2 and made the kernel lose to
-XLA end-to-end. Channels-leading, the (rows, cols) planes fill the
-(sublane, lane) tile and the hidden is stored dense, so full-image batch
-tiles fit in VMEM at every stage (S=80..224) and all channel arithmetic
-vectorizes across leading dims. The wrapper transposes NHWC<->NCHW in XLA
-(one x-sized round trip, ~38 MB at B=128/S=224 vs the ~1 GB/direction
-saved).
+Formulation: channels-leading (B, C, S, S) blocks, one batch element per
+grid step, and a `fori_loop` over the 32 hidden channels whose body works
+on 2D (S, S) planes with per-channel SCALAR weights read from SMEM. The
+depthwise channel independence means h[c] is consumed the moment it is
+produced — a1/h/a2/d exist only as loop-local 2D values, the output plane
+is the loop carry, and the kernel needs NO VMEM scratch. Two earlier
+layouts lost: channels-minor (NHWC) pads the 3/32-lane dim to 128 (42x/4x
+VMEM inflation — batch tiles capped at 2, kernel lost to XLA end-to-end),
+and 4D channels-leading broadcast/reduce ops (x[:, c:c+1] * w[None, :,
+None, None], sum over (0,2,3)) crash this toolchain's Mosaic backend. 2D
+planes + SMEM scalars + loop carries is the conservative subset that
+compiles everywhere.
 
-Grid: (B/Bt,) with standard BlockSpec pipelining (auto double-buffered
-DMA). Backward recomputes the forward per tile and emits dx per tile plus
-weight grads accumulated across the sequential grid.
+Backward recomputes the forward per channel (flash-style) and accumulates
+weight grads as SMEM scalars across the sequential grid.
 """
 
 from __future__ import annotations
@@ -36,40 +39,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HIDDEN = 32
-_VMEM_LIMIT = 120 * 1024 * 1024
-_TILE_BUDGET = 72 * 1024 * 1024
-
-
-def _lane_pad(s: int) -> int:
-    return ((s + 127) // 128) * 128
-
-
-def _pick_bt(b: int, s: int, *, bwd: bool) -> int | None:
-    # Live VMEM per batch element: ~6 (fwd) / ~9 (bwd) channels-leading
-    # (HIDDEN, S, S) planes counting fp32 accumulators and transients,
-    # x1.5 Mosaic slack.  Lane dim padded to 128.
-    per_elem = HIDDEN * s * _lane_pad(s) * (9 * 4 if bwd else 6 * 4)
-    per_elem = int(per_elem * 1.5)
-    for bt in (8, 4, 2, 1):
-        if b % bt:
-            continue
-        if bt * per_elem <= _TILE_BUDGET:
-            return bt
-    return None
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supported(b: int, s: int) -> bool:
-    # OFF on the training path: the channels-leading rewrite is
-    # interpret-verified, but on-chip the Mosaic compile currently crashes
-    # the axon remote-compile helper (HTTP 500) at S=80/128 and the
-    # flagship S=176/224 tiles need row tiling to fit VMEM. Tracked in
-    # NOTES.md; flip once the kernel beats the XLA chain end-to-end.
-    return False
-
-
-def _supported_ungated(b: int, s: int) -> bool:
-    return (_pick_bt(b, s, bwd=False) is not None
-            and _pick_bt(b, s, bwd=True) is not None)
+    # One (1, 3, S, S) block + double buffering + a few fp32 plane carries:
+    # feasible for any stage the model uses; require lane-dim sanity only.
+    return s >= 8 and 10 * 4 * s * s * 4 <= _VMEM_LIMIT
 
 
 def _erf(x):
@@ -92,151 +68,145 @@ def _dgelu(x):
     return cdf + x * phi
 
 
-def _conv_in(x, w1, b1, dtype):
-    """x (bt,3,S,S) -> gelu(1x1 conv) (bt,32,S,S) in `dtype`.
-    Channel-unrolled: 3 broadcasted fma planes, vectorized over the 32
-    output channels via the leading dim."""
-    a1 = (x[:, 0:1].astype(jnp.float32) * w1[:, 0][None, :, None, None]
-          + x[:, 1:2].astype(jnp.float32) * w1[:, 1][None, :, None, None]
-          + x[:, 2:3].astype(jnp.float32) * w1[:, 2][None, :, None, None]
-          + b1[0][None, :, None, None])
-    return a1, _gelu(a1).astype(dtype)
-
-
-def _dw3x3(h, wd, bd, *, flip: bool = False):
-    """Depthwise 3x3, zero padded. h (bt,32,S,S) -> fp32 (bt,32,S,S).
-    Rows are sublane shifts, cols lane shifts of the padded copy; the
-    per-channel tap scale broadcasts over the leading channel dim."""
-    s = h.shape[2]
-    hp = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    acc = bd[0][None, :, None, None] * jnp.ones(
-        (h.shape[0], HIDDEN, s, s), jnp.float32)
+def _chan_parts(c, x0, x1, x2, w1_ref, b1_ref, wd_ref, bd_ref, dtype):
+    """Forward middle for hidden channel c (all 2D planes, fp32):
+    returns (a1, h_padded, a2) where h_padded is (S+2, S+2)."""
+    s = x0.shape[0]
+    a1 = (x0 * w1_ref[c, 0] + x1 * w1_ref[c, 1] + x2 * w1_ref[c, 2]
+          + b1_ref[0, c])
+    hp = jnp.pad(_gelu(a1).astype(dtype), ((1, 1), (1, 1)))
+    a2 = jnp.full((s, s), bd_ref[0, c], jnp.float32)
     for a in range(3):
         for b in range(3):
-            sa, sb = (2 - a, 2 - b) if flip else (a, b)
-            acc = acc + (hp[:, :, sa:sa + s, sb:sb + s].astype(jnp.float32)
-                         * wd[a, b][None, :, None, None])
-    return acc
-
-
-def _conv_out(d, w2, b2, dtype):
-    """d (bt,32,S,S) -> (bt,3,S,S): per-output-channel weighted reduction
-    over the leading hidden dim."""
-    outs = [jnp.sum(d.astype(jnp.float32)
-                    * w2[co][None, :, None, None], axis=1)
-            + b2[0, co]
-            for co in range(3)]
-    return jnp.stack(outs, axis=1).astype(dtype)
+            a2 = a2 + (hp[a:a + s, b:b + s].astype(jnp.float32)
+                       * wd_ref[a, b, c])
+    return a1, hp, a2
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
                 y_ref, *, dtype):
-    x = x_ref[:]
-    _, h = _conv_in(x, w1_ref[:], b1_ref[:], dtype)
-    a2 = _dw3x3(h, wd_ref[:], bd_ref[:])
-    d = _gelu(a2).astype(dtype)
-    y_ref[:] = _conv_out(d, w2_ref[:], b2_ref[:], dtype)
+    s = x_ref.shape[2]
+    x0 = x_ref[0, 0].astype(jnp.float32)
+    x1 = x_ref[0, 1].astype(jnp.float32)
+    x2 = x_ref[0, 2].astype(jnp.float32)
+
+    def body(c, ys):
+        _, _, a2 = _chan_parts(c, x0, x1, x2, w1_ref, b1_ref, wd_ref,
+                               bd_ref, dtype)
+        d = _gelu(a2)
+        return (ys[0] + d * w2_ref[0, c],
+                ys[1] + d * w2_ref[1, c],
+                ys[2] + d * w2_ref[2, c])
+
+    init = tuple(jnp.full((s, s), b2_ref[0, co], jnp.float32)
+                 for co in range(3))
+    y0, y1, y2 = jax.lax.fori_loop(0, HIDDEN, body, init)
+    y_ref[0, 0] = y0.astype(dtype)
+    y_ref[0, 1] = y1.astype(dtype)
+    y_ref[0, 2] = y2.astype(dtype)
 
 
 def _bwd_kernel(x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref,
-                g_ref, dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref,
+                g_ref, z1_ref, zb1_ref, zd_ref, zbd_ref, z2_ref, zb2_ref,
+                dx_ref, dw1_ref, db1_ref, dwd_ref, dbd_ref,
                 dw2_ref, db2_ref, *, dtype):
-    i = pl.program_id(0)
+    # z*_refs are zero-filled inputs aliased to the grad outputs (SMEM
+    # allows only scalar stores, so zero-init happens in XLA); the grad
+    # refs are pure accumulators across the sequential grid.
+    del z1_ref, zb1_ref, zd_ref, zbd_ref, z2_ref, zb2_ref
+    s = x_ref.shape[2]
 
-    @pl.when(i == 0)
-    def _():
-        dw1_ref[:] = jnp.zeros_like(dw1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dwd_ref[:] = jnp.zeros_like(dwd_ref)
-        dbd_ref[:] = jnp.zeros_like(dbd_ref)
-        dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
+    x0 = x_ref[0, 0].astype(jnp.float32)
+    x1 = x_ref[0, 1].astype(jnp.float32)
+    x2 = x_ref[0, 2].astype(jnp.float32)
+    g0 = g_ref[0, 0].astype(jnp.float32)
+    g1 = g_ref[0, 1].astype(jnp.float32)
+    g2 = g_ref[0, 2].astype(jnp.float32)
 
-    x = x_ref[:]
-    w1 = w1_ref[:]
-    wd = wd_ref[:]
-    w2 = w2_ref[:]
-    s = x.shape[2]
+    db2_ref[0, 0] += jnp.sum(g0)
+    db2_ref[0, 1] += jnp.sum(g1)
+    db2_ref[0, 2] += jnp.sum(g2)
 
-    a1, h = _conv_in(x, w1, b1_ref[:], dtype)
-    a2 = _dw3x3(h, wd, bd_ref[:])
-    d = _gelu(a2).astype(dtype)
-    g = g_ref[:]  # (bt,3,S,S)
+    def body(c, carry):
+        dx0, dx1, dx2 = carry
+        a1, hp, a2 = _chan_parts(c, x0, x1, x2, w1_ref, b1_ref, wd_ref,
+                                 bd_ref, dtype)
+        d = _gelu(a2)
+        # y[co] = sum_c d*w2[co,c] + b2  =>  dd = sum_co g[co]*w2[co,c]
+        dd = g0 * w2_ref[0, c] + g1 * w2_ref[1, c] + g2 * w2_ref[2, c]
+        dw2_ref[0, c] += jnp.sum(g0 * d)
+        dw2_ref[1, c] += jnp.sum(g1 * d)
+        dw2_ref[2, c] += jnp.sum(g2 * d)
 
-    # y[co] = sum_k d[k]*w2[co,k] + b2  =>  dd[k] = sum_co g[co]*w2[co,k]
-    g32 = g.astype(jnp.float32)
-    dd = (g32[:, 0:1] * w2[0][None, :, None, None]
-          + g32[:, 1:2] * w2[1][None, :, None, None]
-          + g32[:, 2:3] * w2[2][None, :, None, None])
-    for co in range(3):
-        dw2_ref[co, :] += jnp.sum(g32[:, co:co + 1] * d.astype(jnp.float32),
-                                  axis=(0, 2, 3)).reshape(HIDDEN)
-    db2_ref[:] += jnp.sum(g32, axis=(0, 2, 3)).reshape(1, 3)
+        da2 = dd * _dgelu(a2)
+        dbd_ref[0, c] += jnp.sum(da2)
+        for a in range(3):
+            for b in range(3):
+                dwd_ref[a, b, c] += jnp.sum(
+                    da2 * hp[a:a + s, b:b + s].astype(jnp.float32))
+        # dh = flipped-tap depthwise of da2
+        dap = jnp.pad(da2.astype(dtype), ((1, 1), (1, 1)))
+        dh = jnp.zeros((s, s), jnp.float32)
+        for a in range(3):
+            for b in range(3):
+                dh = dh + (dap[2 - a:2 - a + s, 2 - b:2 - b + s]
+                           .astype(jnp.float32) * wd_ref[a, b, c])
+        da1 = dh * _dgelu(a1)
+        db1_ref[0, c] += jnp.sum(da1)
+        dw1_ref[c, 0] += jnp.sum(da1 * x0)
+        dw1_ref[c, 1] += jnp.sum(da1 * x1)
+        dw1_ref[c, 2] += jnp.sum(da1 * x2)
+        return (dx0 + da1 * w1_ref[c, 0],
+                dx1 + da1 * w1_ref[c, 1],
+                dx2 + da1 * w1_ref[c, 2])
 
-    da2 = dd * _dgelu(a2)
-    dbd_ref[:] += jnp.sum(da2, axis=(0, 2, 3)).reshape(1, HIDDEN)
-    # dwd[a,b,k] = sum_pixels da2[k,i,j] * h[k, i+a-1, j+b-1]
-    hp32 = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1))).astype(jnp.float32)
-    for a in range(3):
-        for b in range(3):
-            dwd_ref[a, b, :] += jnp.sum(
-                da2 * hp32[:, :, a:a + s, b:b + s], axis=(0, 2, 3))
-    # dh = transposed depthwise conv (flipped taps), no bias.
-    dh = _dw3x3(da2.astype(dtype), wd, jnp.zeros_like(bd_ref[:]), flip=True)
-
-    da1 = dh * _dgelu(a1)
-    db1_ref[:] += jnp.sum(da1, axis=(0, 2, 3)).reshape(1, HIDDEN)
-    x32 = x.astype(jnp.float32)
-    for ci in range(3):
-        dw1_ref[:, ci] += jnp.sum(da1 * x32[:, ci:ci + 1], axis=(0, 2, 3))
-    # dx[ci] = sum_k da1[k] * w1[k,ci]
-    dx = jnp.stack(
-        [jnp.sum(da1 * w1[:, ci][None, :, None, None], axis=1)
-         for ci in range(3)], axis=1)
-    dx_ref[:] = dx.astype(dtype)
+    zero = jnp.zeros((s, s), jnp.float32)
+    dx0, dx1, dx2 = jax.lax.fori_loop(0, HIDDEN, body, (zero, zero, zero))
+    dx_ref[0, 0] = dx0.astype(dtype)
+    dx_ref[0, 1] = dx1.astype(dtype)
+    dx_ref[0, 2] = dx2.astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
     dtype = jnp.dtype(dtype_name)
     b, s = shapes
-    bt_f = _pick_bt(b, s, bwd=False)
-    bt_b = _pick_bt(b, s, bwd=True)
-    if bt_f is None or bt_b is None:
-        raise ValueError(f"no feasible batch tile for B={b}, S={s}")
 
-    def x_tile(bt):
-        return pl.BlockSpec((bt, 3, s, s), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    x_tile = pl.BlockSpec((1, 3, s, s), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
 
-    def const(shape):
+    def smem(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+                            memory_space=pltpu.SMEM)
 
-    w_specs = [const((HIDDEN, 3)), const((1, HIDDEN)),
-               const((3, 3, HIDDEN)), const((1, HIDDEN)),
-               const((3, HIDDEN)), const((1, 3))]
+    w_specs = [smem((HIDDEN, 3)), smem((1, HIDDEN)),
+               smem((3, 3, HIDDEN)), smem((1, HIDDEN)),
+               smem((3, HIDDEN)), smem((1, 3))]
     params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     traffic = 2 * 2 * b * s * s * 3
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, dtype=dtype),
-        grid=(b // bt_f,),
-        in_specs=[x_tile(bt_f)] + w_specs,
-        out_specs=x_tile(bt_f),
+        grid=(b,),
+        in_specs=[x_tile] + w_specs,
+        out_specs=x_tile,
         out_shape=jax.ShapeDtypeStruct((b, 3, s, s), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * s * s * HIDDEN * (3 + 9 + 3),
             bytes_accessed=traffic, transcendentals=2 * b * s * s * HIDDEN),
         compiler_params=params, interpret=interpret)
 
+    grad_shapes = [(HIDDEN, 3), (1, HIDDEN), (3, 3, HIDDEN), (1, HIDDEN),
+                   (3, HIDDEN), (1, 3)]
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, dtype=dtype),
-        grid=(b // bt_b,),
-        in_specs=[x_tile(bt_b)] + w_specs + [x_tile(bt_b)],
-        out_specs=(x_tile(bt_b), const((HIDDEN, 3)), const((1, HIDDEN)),
-                   const((3, 3, HIDDEN)), const((1, HIDDEN)),
-                   const((3, HIDDEN)), const((1, 3))),
+        grid=(b,),
+        in_specs=[x_tile] + w_specs + [x_tile]
+        + [smem(sh) for sh in grad_shapes],
+        input_output_aliases={8 + j: 1 + j for j in range(6)},
+        out_specs=(x_tile, smem((HIDDEN, 3)), smem((1, HIDDEN)),
+                   smem((3, 3, HIDDEN)), smem((1, HIDDEN)),
+                   smem((3, HIDDEN)), smem((1, 3))),
         out_shape=(
             jax.ShapeDtypeStruct((b, 3, s, s), dtype),
             jax.ShapeDtypeStruct((HIDDEN, 3), jnp.float32),
@@ -262,8 +232,9 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
 
     def bwd(res, g):
         x, w1, b1, wd, bd, w2, b2 = res
+        zeros = [jnp.zeros(sh, jnp.float32) for sh in grad_shapes]
         dx, dw1, db1, dwd, dbd, dw2, db2 = bwd_call(x, w1, b1, wd, bd, w2,
-                                                    b2, g)
+                                                    b2, g, *zeros)
         return (dx.astype(x.dtype), dw1.astype(w1.dtype),
                 db1.astype(b1.dtype), dwd.astype(wd.dtype),
                 dbd.astype(bd.dtype), dw2.astype(w2.dtype),

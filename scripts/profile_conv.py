@@ -75,8 +75,7 @@ def run(b, s, dtype=jnp.bfloat16):
 
     bench_pair(xla_fn, "   xla")
 
-    bt_f = cr._pick_bt(b, s, bwd=False)
-    bt_b = cr._pick_bt(b, s, bwd=True)
+    bt_f = bt_b = 1
 
     def f_fn(*a):
         return cr.fused_conv_residual(*a, dtype=dtype)
