@@ -70,9 +70,14 @@ def _pick_impl(b: int, h: int, sq: int, skv: int,
     if impl == "auto":
         if _pallas_supported(b, h, sq, skv, d):
             impl = "pallas"
+        elif _pallas_hires_supported(b, h, sq, skv, d):
+            # Long-sequence shapes whose one-kernel backward exceeds VMEM:
+            # fully fused forward + two-pass flash backward with saved
+            # (m, lse, dssum) residuals.
+            impl = "pallas_hires"
         elif _pallas_fwd_supported(b, h, sq, skv, d):
-            # Hires shapes: the fused forward fits VMEM but the backward
-            # kernel does not — pallas forward + chunked-XLA backward.
+            # Last-resort hires fallback: pallas forward + chunked-XLA
+            # recompute backward.
             impl = "pallas_fwd"
         elif b * h * sq * skv * 4 > _AUTO_SCORE_BUDGET:
             impl = "chunked"
@@ -101,6 +106,15 @@ def _pallas_fwd_supported(b: int, h: int, sq: int, skv: int,
     from calm_vit_dte_tpu.kernels import axial_attention as ka
 
     return ka.fwd_supported(h, sq, skv, d)
+
+
+def _pallas_hires_supported(b: int, h: int, sq: int, skv: int,
+                            d: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    from calm_vit_dte_tpu.kernels import axial_attention as ka
+
+    return ka.hires_supported(b, h, sq, skv, d)
 
 
 @functools.lru_cache(maxsize=None)
@@ -207,6 +221,19 @@ def masked_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
         out = fused_masked_attention(q, k, v, w1, b1, w2, b2, scale=scale,
                                      dtype=dtype, use_mask=use_mask)
+    elif impl == "pallas_hires":
+        from calm_vit_dte_tpu.kernels.axial_attention import (
+            fused_hires_attention,
+        )
+
+        if not use_mask:
+            s2 = 2 * sq
+            w1 = jnp.zeros((s2, sq), jnp.float32)
+            b1 = jnp.zeros((s2,), jnp.float32)
+            w2 = jnp.zeros((sq, s2), jnp.float32)
+            b2 = jnp.zeros((sq,), jnp.float32)
+        out = fused_hires_attention(q, k, v, w1, b1, w2, b2, scale=scale,
+                                    dtype=dtype)
     elif impl == "pallas_fwd":
         hybrid = _make_hybrid(scale, jnp.dtype(dtype).name, use_mask,
                               chunk, (b, h, sq, q.shape[-1]))

@@ -318,3 +318,39 @@ def test_hybrid_pallas_fwd_xla_bwd():
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=5e-4, atol=5e-5,
                                    err_msg=f"hybrid grad mismatch {name}")
+
+
+def test_hires_two_pass_backward_matches_oracle():
+    """The hires path (fwd saving m/lse residuals + query-tiled dq/mask
+    pass + key-tiled dk/dv pass) == oracle, fwd and all grads."""
+    from calm_vit_dte_tpu.kernels.axial_attention import (
+        fused_hires_attention,
+    )
+
+    q, k, v, w1, b1, w2, b2 = _inputs(b=2, h=3, s=64, d=16, seed=3)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+
+    ref = _attention_core(q, k, v, w1, b1, w2, b2, scale=scale,
+                          dtype=jnp.float32, use_mask=True)
+    out = fused_hires_attention(q, k, v, w1, b1, w2, b2, scale=scale,
+                                dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+    def loss_ref(args):
+        out = _attention_core(*args, scale=scale, dtype=jnp.float32,
+                              use_mask=True)
+        return jnp.sum(out * jnp.cos(out.shape[-1] + out))
+
+    def loss_fused(args):
+        out = fused_hires_attention(*args, scale=scale, dtype=jnp.float32,
+                                    interpret=True)
+        return jnp.sum(out * jnp.cos(out.shape[-1] + out))
+
+    args = (q, k, v, w1, b1, w2, b2)
+    g_ref = jax.grad(loss_ref)(args)
+    g_fused = jax.grad(loss_fused)(args)
+    for name, a, b_ in zip("q k v w1 b1 w2 b2".split(), g_ref, g_fused):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=5e-4, atol=1e-4,
+            err_msg=f"grad mismatch for {name}")
