@@ -89,6 +89,34 @@ def maybe_init_distributed() -> None:
                       f"failed ({e}); continuing single-process", flush=True)
 
 
+def _compile_barrier(jit_step, state, batch) -> None:
+    """Multi-host: compile the train step BEFORE executing it, then hold
+    every process at a coordination-service barrier.
+
+    The first execution of a sharded program creates its cross-process
+    collective context, whose address key-exchange has a hard ~30s
+    timeout; per-process compile-time skew (cold caches, different host
+    speeds) routinely exceeds that, killing the job with
+    "collectives context initialization failed: GetKeyValue() timed out"
+    before the first step ever runs. Compiling ahead of time (the result
+    lands in the persistent compilation cache) and syncing on the
+    long-timeout coordination-service barrier — NOT on a collective,
+    which would have the same 30s problem — makes all processes enter the
+    first collective together."""
+    if jax.process_count() <= 1:
+        return
+    jit_step.lower(state, batch).compile()
+    try:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            "calm_step_compile", timeout_in_ms=1_800_000)
+    except Exception:  # no coordination client: fall back to a collective
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("calm_step_compile")
+
+
 def build_dataset(cfg: TrainConfig, split: str = "train"):
     if cfg.dataset_root == "synthetic" or not os.path.isdir(cfg.dataset_root):
         if cfg.dataset_root != "synthetic" and is_chief():
@@ -183,6 +211,8 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
             batch = to_device(next(it))
         except StopIteration:
             batch = None
+        if epoch == start_epoch and batch is not None:
+            _compile_barrier(jit_step, state, batch)
         i = 0
         while batch is not None:
             state, metrics = jit_step(state, batch)
