@@ -76,8 +76,52 @@ def kernel_regression_check() -> None:
     for a, b_ in zip(gf, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-3, atol=5e-3)
-    print("kernel regression check: fused == oracle (fwd+grads)",
-          file=sys.stderr, flush=True)
+
+    # The rope-fused kernel IS the production path (models/vmla.py): check
+    # it too — in-kernel rotation + concat + learned-table grads.
+    from calm_vit_dte_tpu.kernels.axial_attention import (
+        fused_rope_attention,
+    )
+
+    dc = d // 2
+    qc, kc = q[..., :dc], k[..., :dc]
+    qr, kr = q[..., dc:], k[..., dc:]
+    t = jnp.arange(s, dtype=jnp.float32)
+    inv = 1.0 / (10.0 ** (jnp.arange(0, dc, 2, jnp.float32) / dc))
+    fr = jnp.concatenate([jnp.outer(t, inv)] * 2, axis=-1)
+    cq, sq_, ck, sk = (jnp.cos(fr), jnp.sin(fr),
+                       jnp.cos(1.1 * fr), jnp.sin(1.1 * fr))
+
+    def rot(x, c, s_):
+        half = x.shape[-1] // 2
+        rh = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+        return x * c + rh * s_
+
+    def loss_rope_fused(qc, qr, kc, kr, cq, sq_, ck, sk):
+        o = fused_rope_attention(qc, qr, kc, kr, v, cq, sq_, ck, sk,
+                                 w1, b1, w2, b2, scale=scale,
+                                 dtype=jnp.float32)
+        return jnp.sum(o * o)
+
+    def loss_rope_oracle(qc, qr, kc, kr, cq, sq_, ck, sk):
+        qq = jnp.concatenate([qc, rot(qr, cq, sq_)], -1)
+        kk = jnp.concatenate([kc, rot(kr, ck, sk)], -1)
+        o = _attention_core(qq, kk, v, w1, b1, w2, b2, scale=scale,
+                            dtype=jnp.float32, use_mask=True)
+        return jnp.sum(o * o)
+
+    rargs = (qc, qr, kc, kr, cq, sq_, ck, sk)
+    an = tuple(range(8))
+    lrf, grf = jax.jit(jax.value_and_grad(loss_rope_fused, argnums=an))(
+        *rargs)
+    lro, gro = jax.jit(jax.value_and_grad(loss_rope_oracle, argnums=an))(
+        *rargs)
+    np.testing.assert_allclose(float(lrf), float(lro), rtol=2e-4)
+    for a, b_ in zip(grf, gro):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-3, atol=5e-3)
+    print("kernel regression check: fused == oracle (fwd+grads, "
+          "plain + rope-fused)", file=sys.stderr, flush=True)
 
 
 def build_step(batch_size: int, remat: bool = True):

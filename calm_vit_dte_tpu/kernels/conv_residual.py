@@ -43,8 +43,15 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supported(b: int, s: int) -> bool:
-    # One (1, 3, S, S) block + double buffering + a few fp32 plane carries:
-    # feasible for any stage the model uses; require lane-dim sanity only.
+    # OFF on the training path: the per-channel loop kernel is correct on
+    # chip but VPU-bound at ~100x SoL and loses to the lax.conv chain
+    # end-to-end (S=224 fwd+bwd 32.6 ms vs 21.3 ms; measured +70 ms/step
+    # when accidentally enabled). See NOTES.md for the three formulations
+    # tried and the path forward.
+    return False
+
+
+def _supported_ungated(b: int, s: int) -> bool:
     return s >= 8 and 10 * 4 * s * s * 4 <= _VMEM_LIMIT
 
 
