@@ -13,6 +13,7 @@ uses pure PIL — functionality identical, just slower).
 from __future__ import annotations
 
 import ctypes
+import os
 
 import pathlib
 import subprocess
@@ -71,9 +72,15 @@ def available() -> bool:
 
 
 def decode_resize_batch(paths: list[str], out_size: int,
-                        n_threads: int = 8):
+                        n_threads: int | None = None):
     """Returns (images uint8 (N, out, out, 3), ok bool (N,)). Failed entries
-    have ok=False and undefined pixels — decode those with PIL."""
+    have ok=False and undefined pixels — decode those with PIL.
+
+    n_threads defaults to the host core count (capped at the batch size):
+    the decode pool should scale with the machine, not a fixed constant —
+    ImageNet hosts feeding a chip at ~600 img/s need every core."""
+    if n_threads is None:
+        n_threads = max(1, min(os.cpu_count() or 8, len(paths)))
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native data plane unavailable")
