@@ -80,16 +80,21 @@ def state_shardings(mesh: Mesh, state, p_sh, tx):
     """
     import optax
 
+    from calm_vit_dte_tpu.train.optim import FusedAdamWState
+
     repl = replicated_sharding(mesh)
-    try:
-        opt_sh = optax.tree_map_params(
-            tx, lambda _p, sh: sh, state.opt_state, p_sh,
-            transform_non_params=lambda _x: repl)
-    except ValueError:
-        # optax.flatten-style chains hold flat moment vectors that cannot
+    if isinstance(state.opt_state, FusedAdamWState):
+        # The fused flat optimizer holds flat moment vectors that cannot
         # carry per-param shardings; replicate them (correct on a
         # data-parallel-only mesh — use flatten=False for TP).
         opt_sh = jax.tree.map(lambda _x: repl, state.opt_state)
+    else:
+        try:
+            opt_sh = optax.tree_map_params(
+                tx, lambda _p, sh: sh, state.opt_state, p_sh,
+                transform_non_params=lambda _x: repl)
+        except ValueError:
+            opt_sh = jax.tree.map(lambda _x: repl, state.opt_state)
     return state.__class__(
         params=p_sh,
         sn_state=jax.tree.map(lambda _x: repl, state.sn_state),

@@ -12,6 +12,9 @@ exponent); it is intentionally dropped.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -49,6 +52,9 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
     tree structure (see parallel.mesh.state_shardings)."""
     schedule = cosine_per_epoch_schedule(base_lr, epochs, steps_per_epoch,
                                          eta_min)
+    if flatten:
+        return _fused_flat_adamw(schedule, b1, b2, 1e-8, weight_decay,
+                                 clip_norm, skip_nonfinite)
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(learning_rate=schedule, b1=b1, b2=b2, eps=1e-8,
@@ -56,4 +62,88 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
     )
     if skip_nonfinite:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
-    return optax.flatten(tx) if flatten else tx
+    return tx
+
+
+class FusedAdamWState(NamedTuple):
+    count: jax.Array       # applied steps (drives bias correction + LR)
+    notfinite: jax.Array   # consecutive skipped steps
+    gnorm: jax.Array       # last pre-clip global grad norm (free metric)
+    mu: jax.Array          # flat first moment, fp32
+    nu: jax.Array          # flat second moment, fp32
+
+
+def _fused_flat_adamw(schedule, b1: float, b2: float, eps: float,
+                      weight_decay: float, clip_norm: float,
+                      skip_nonfinite: bool,
+                      max_consecutive_errors: int = 100
+                      ) -> optax.GradientTransformation:
+    """clip_by_global_norm + AdamW + if-finite step-skip as ONE fused flat
+    update.
+
+    The equivalent optax chain (flatten(apply_if_finite(chain(clip,
+    adamw)))) materializes ~10 full-tree-sized intermediates per step —
+    scaled grads, mu_hat/nu_hat, decayed weights, per-stage selects —
+    ~9 ms at the 42.6M-param flagship (measured, scripts/profile_opt.py).
+    Here the entire update is one jnp expression over four flat fp32
+    vectors (g, p, mu, nu), which XLA fuses into a single multi-output
+    pass; the finiteness test rides the clip norm for free (any NaN/inf in
+    g makes sum(g^2) non-finite). Update math is element-for-element the
+    optax semantics: trigger-style clip scaling, bias-corrected moments
+    with the APPLIED-step count (skipped steps advance neither the count
+    nor the schedule, exactly like apply_if_finite), decoupled weight
+    decay, and raw-update passthrough once max_consecutive_errors is
+    exceeded so a persistent NaN surfaces instead of silently stalling."""
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        flat = flat.astype(jnp.float32)
+        return FusedAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            notfinite=jnp.zeros((), jnp.int32),
+            gnorm=jnp.zeros((), jnp.float32),
+            mu=jnp.zeros_like(flat),
+            nu=jnp.zeros_like(flat))
+
+    def update(grads, state, params=None):
+        assert params is not None, "fused adamw requires params"
+        g, unravel = ravel_pytree(grads)
+        g = g.astype(jnp.float32)
+        p, _ = ravel_pytree(params)
+        p = p.astype(jnp.float32)
+
+        gsq = jnp.vdot(g, g)
+        gnorm = jnp.sqrt(gsq)
+        # optax.clip_by_global_norm: scale only when the norm exceeds clip.
+        scale = jnp.where(gnorm < clip_norm, 1.0,
+                          clip_norm / jnp.maximum(gnorm, 1e-30))
+        finite = jnp.isfinite(gsq)
+        apply_step = jnp.logical_or(
+            finite, state.notfinite >= max_consecutive_errors
+        ) if skip_nonfinite else jnp.array(True)
+
+        def do_apply(_):
+            t = state.count + 1
+            gc = g * scale
+            mu = b1 * state.mu + (1.0 - b1) * gc
+            nu = b2 * state.nu + (1.0 - b2) * gc * gc
+            tf = t.astype(jnp.float32)
+            mu_hat = mu / (1.0 - b1 ** tf)
+            nu_hat = nu / (1.0 - b2 ** tf)
+            lr = schedule(state.count).astype(jnp.float32)
+            upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps)
+                         + weight_decay * p)
+            return upd, mu, nu, t, jnp.zeros((), jnp.int32)
+
+        def do_skip(_):
+            return (jnp.zeros_like(g), state.mu, state.nu, state.count,
+                    state.notfinite + 1)
+
+        upd, mu, nu, count, notfinite = jax.lax.cond(
+            apply_step, do_apply, do_skip, None)
+        return unravel(upd), FusedAdamWState(count=count,
+                                             notfinite=notfinite,
+                                             gnorm=gnorm, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)

@@ -99,7 +99,13 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # The fused optimizer computes the pre-clip global norm anyway
+        # (it drives clipping + the finiteness skip); reuse it instead of
+        # a second full pass over the gradients.
+        if hasattr(new_opt, "gnorm"):
+            metrics["grad_norm"] = new_opt.gnorm
+        else:
+            metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(
             params=new_params,
             sn_state=new_sn,

@@ -134,3 +134,50 @@ def test_reg_step_runs():
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["kl"]))
+
+
+def test_fused_adamw_matches_optax_chain():
+    """The fused flat AdamW == flatten(apply_if_finite(clip+adamw)):
+    same params after several steps, same skip-on-NaN behavior, same
+    schedule/bias-correction counting across skipped steps."""
+    import optax
+
+    from calm_vit_dte_tpu.train.optim import (
+        cosine_per_epoch_schedule, make_optimizer,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "a": {"w": jax.random.normal(key, (64, 32)),
+              "b": jnp.zeros((64,))},
+        "c": jax.random.normal(jax.random.fold_in(key, 1), (8, 8, 3)),
+    }
+    sched = cosine_per_epoch_schedule(3.1e-3, 65, 4)
+    ref_tx = optax.flatten(optax.apply_if_finite(optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate=sched, b1=0.9, b2=0.98, eps=1e-8,
+                    weight_decay=0.02)), 100))
+    fused_tx = make_optimizer(3.1e-3, 0.02, 0.9, 0.98, epochs=65,
+                              steps_per_epoch=4, flatten=True)
+
+    def run(tx, with_nan_step):
+        p = jax.tree.map(jnp.copy, params)
+        s = tx.init(p)
+        for i in range(6):
+            g = jax.tree.map(
+                lambda x, k=i: jax.random.normal(
+                    jax.random.fold_in(key, 100 + k), x.shape) * (2.0 + k),
+                p)
+            if with_nan_step and i == 2:
+                g = jax.tree.map(lambda x: x.at[(0,) * x.ndim].set(
+                    jnp.nan) if x.ndim else x * jnp.nan, g)
+            u, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p
+
+    for with_nan in (False, True):
+        p_ref = run(ref_tx, with_nan)
+        p_fused = run(fused_tx, with_nan)
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
