@@ -747,10 +747,12 @@ def fused_rope_attention(qc, qr, kc, kr, v, cos_q, sin_q, cos_k, sin_k,
 
 def _est_hires_a(bt: int, h: int, tq: int, s: int, d: int, dv: int,
                  s2: int) -> int:
-    # Query-tiled dq+mask-grad pass: ~6 live fp32 score tiles (x3 Mosaic
-    # slack) + resident k/v (bf16, x2 pipeline) + 3 mask weights bf16 +
-    # fp32 weight-grad accumulators + small tiles.
-    live = 3 * 4 * (6 * bt * h * tq * s + 4 * bt * tq * s)
+    # Query-tiled dq+mask-grad pass: ~6 live fp32 score tiles (x2 Mosaic
+    # slack — measured: (1, tq=64) at S=1024/D=256 compiles and runs, and
+    # is 7.6% faster than tq=32, so the x3 slack the one-kernel bwd needs
+    # is too conservative here) + resident k/v (bf16, x2 pipeline) +
+    # 3 mask weights bf16 + fp32 weight-grad accumulators + small tiles.
+    live = 2 * 4 * (6 * bt * h * tq * s + 4 * bt * tq * s)
     resident = (2 * 2 * bt * h * s * (d + dv)      # k, v double-buffered
                 + 2 * 3 * s * s2                   # w1t, w1, w2 bf16
                 + 4 * 2 * s * s2 + 4 * 3 * s2)     # dw1, dw2 fp32 + biases
@@ -758,9 +760,10 @@ def _est_hires_a(bt: int, h: int, tq: int, s: int, d: int, dv: int,
 
 
 def _est_hires_b(bt: int, h: int, tk: int, s: int, d: int, dv: int) -> int:
-    # Key-tiled dk/dv pass: ~5 live fp32 (s, tk) score tiles + resident
-    # q/g (bf16, x2) + saved-residual column tiles.
-    live = 3 * 4 * (5 * bt * h * s * tk + 4 * bt * s * tk)
+    # Key-tiled dk/dv pass: ~5 live fp32 (s, tk) score tiles (x2 slack;
+    # tk=128 measured on chip) + resident q/g (bf16, x2) + saved-residual
+    # column tiles.
+    live = 2 * 4 * (5 * bt * h * s * tk + 4 * bt * s * tk)
     resident = 2 * 2 * bt * h * s * (d + dv)       # q, g double-buffered
     return live + resident
 
