@@ -126,6 +126,50 @@ def conv_residual_apply(params: dict, state: dict, x_seq: jax.Array, *,
         return (y.reshape(b, s, s * 3),
                 {"conv1": st1, "conv2": st2, "conv3": st3})
 
+    import os
+
+    impl = os.environ.get("CALM_CONV_IMPL", "lax")
+    if impl != "lax":
+        from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
+
+        w1, st1 = spectral_normalize(params["conv1"]["w"], state["conv1"],
+                                     training=training)
+        wd, st2 = spectral_normalize(params["conv2"]["w"], state["conv2"],
+                                     training=training)
+        w2, st3 = spectral_normalize(params["conv3"]["w"], state["conv3"],
+                                     training=training)
+        xc = img.astype(dtype)
+        # 1x1 convs as plain matmuls over the channel axis (the conv op
+        # pads 3/32-channel tensors catastrophically on TPU).
+        a1 = jnp.einsum("bhwc,oc->bhwo", xc,
+                        w1.reshape(CONV_HIDDEN, 3).astype(dtype))
+        a1 = a1 + params["conv1"]["b"].astype(a1.dtype)
+        h = jax.nn.gelu(a1, approximate=False).astype(dtype)
+        if impl == "tap":
+            # depthwise 3x3 as 9 statically shifted fmas, fp32 accumulate.
+            wd9 = jnp.transpose(wd, (2, 3, 1, 0)).reshape(3, 3, CONV_HIDDEN)
+            hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            acc = params["conv2"]["b"].astype(jnp.float32) * jnp.ones(
+                h.shape, jnp.float32)
+            for ta in range(3):
+                for tb in range(3):
+                    acc = acc + (hp[:, ta:ta + s, tb:tb + s, :]
+                                 .astype(jnp.float32) * wd9[ta, tb])
+            d = jax.nn.gelu(acc, approximate=False).astype(dtype)
+        else:  # "mix": 1x1s as matmuls, depthwise via lax.conv
+            dw = jnp.transpose(wd, (2, 3, 1, 0))  # HWIO (3,3,1,32)
+            d = jax.lax.conv_general_dilated(
+                h, dw.astype(dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=CONV_HIDDEN)
+            d = d + params["conv2"]["b"].astype(d.dtype)
+            d = jax.nn.gelu(d, approximate=False).astype(dtype)
+        y = jnp.einsum("bhwo,co->bhwc", d,
+                       w2.reshape(3, CONV_HIDDEN).astype(dtype))
+        y = y + params["conv3"]["b"].astype(y.dtype)
+        return (y.reshape(b, s, s * 3),
+                {"conv1": st1, "conv2": st2, "conv3": st3})
+
     y, st1 = sn_conv2d_apply(params["conv1"], state["conv1"], img,
                              training=training, dtype=dtype)
     y = jax.nn.gelu(y, approximate=False)

@@ -1,15 +1,30 @@
-"""Ad-hoc step-time breakdown on the real chip: times the full train step
-and its pieces (preprocess, forward, forward+backward, optimizer) so
-optimization work targets what is actually hot. Not part of the test suite.
+"""Capture a jax.profiler trace of the production train step and print a
+per-op device-time breakdown.
 
-Usage: python scripts/profile_step.py [batch_size]
+This is the tool behind the step-budget numbers in NOTES.md: it runs N
+traced steps of the full jitted train step (flagship config by default),
+parses the xplane protobuf with the installed xprof converter, and
+aggregates HLO self-times by framework op path — so "where do the
+milliseconds go" is answerable without guessing from op names.
+
+Usage:
+    python scripts/profile_step.py [--config imagenet-cls-224]
+        [--batch 128] [--steps 3] [--task cls] [--top 30]
+
+Output: total ms/step, XLA-remat duplicate time (silent rematerialization
+under memory pressure shows up here), and the top aggregated buckets
+(pallas kernels, dot_generals, transposes, ...).
 """
 
 from __future__ import annotations
 
+import argparse
+import collections
+import glob
+import json
 import os
 import sys
-import time
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,114 +38,89 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(fn, *args, iters=10, chain=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(max(1, iters // chain)):
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / chain)
-    return float(np.percentile(times, 50))
-
-
-def main():
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-
-    from calm_vit_dte_tpu.data.pipeline import make_cls_preprocess
-    from calm_vit_dte_tpu.models.vit import vit_apply, vit_init
-    from calm_vit_dte_tpu.nn.spectral_norm import (
-        normalize_tree, prenormalized_scope,
+def capture(config: str, batch_size: int, steps: int, task: str,
+            trace_dir: str) -> None:
+    from calm_vit_dte_tpu.data.pipeline import (
+        make_cls_preprocess, make_reg_preprocess,
     )
-    from calm_vit_dte_tpu.train.losses import softmax_cross_entropy
+    from calm_vit_dte_tpu.models.vit import vit_init
     from calm_vit_dte_tpu.train.optim import make_optimizer
     from calm_vit_dte_tpu.train.state import create_train_state
     from calm_vit_dte_tpu.train.step import make_train_step
     from calm_vit_dte_tpu.utils.configs import get_config
 
-    cfg = get_config("imagenet-cls-224")
+    cfg = get_config(config)
     params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(0))
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.beta1, cfg.beta2,
                         cfg.epochs, steps_per_epoch=1000)
     state = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
-
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.integers(0, 256, (bs, 256, 256, 3), dtype=np.uint8))
-    labels = jnp.asarray(rng.integers(0, 1000, (bs,), dtype=np.int32))
-    batch = {"image": imgs, "label": labels}
-    pre = make_cls_preprocess(1000, 224)
-    key = jax.random.PRNGKey(2)
+    batch = {"image": jnp.asarray(rng.integers(
+        0, 256, (batch_size, cfg.image_size, cfg.image_size, 3),
+        dtype=np.uint8))}
+    if task == "cls":
+        batch["label"] = jnp.asarray(rng.integers(
+            0, cfg.model.out_features, (batch_size,), dtype=np.int32))
+        pre = make_cls_preprocess(cfg.model.out_features, cfg.crop)
+    else:
+        pre = make_reg_preprocess(cfg.crop)
+    step = make_train_step(cfg.model, tx, task, dtype=jnp.bfloat16,
+                           remat=False, preprocess=pre)
+    js = jax.jit(step, donate_argnums=0)
+    state, m = js(state, batch)
+    jax.block_until_ready(state.params)
+    print(f"warm loss {float(m['loss']):.4f}", flush=True)
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(steps):
+        state, m = js(state, batch)
+    jax.block_until_ready(state.params)
+    jax.profiler.stop_trace()
 
-    dtype = jnp.bfloat16
 
-    # 1. preprocess only
-    jp = jax.jit(pre)
-    t_pre = timeit(jp, key, batch)
-    print(f"preprocess:            {t_pre*1e3:8.1f} ms", flush=True)
-    pbatch = jax.block_until_ready(jp(key, batch))
+def aggregate(trace_dir: str, steps: int, top: int) -> None:
+    from xprof.convert import raw_to_tool_data as r
 
-    # 2. sn normalize_tree only
-    def normed(params, sn_state):
-        return normalize_tree(params, sn_state, training=True)
-    jn = jax.jit(normed)
-    t_sn = timeit(jn, state.params, state.sn_state)
-    print(f"sn normalize_tree:     {t_sn*1e3:8.1f} ms", flush=True)
-    norm_params, _ = jax.block_until_ready(jn(state.params, state.sn_state))
+    paths = glob.glob(os.path.join(trace_dir,
+                                   "plugins/profile/*/*.xplane.pb"))
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    data, _ = r.xspace_to_tool_data(paths, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    d = json.loads(data)
+    cols = [c["id"] for c in d["cols"]]
+    ix = {c: i for i, c in enumerate(cols)}
+    rows = [[c.get("v") for c in row["c"]] for row in d["rows"]]
 
-    # 3. forward only (train mode, prenormalized)
-    def fwd(norm_params, sn_state, x):
-        with prenormalized_scope():
-            out, kl, _ = vit_apply(cfg.model, norm_params, sn_state, x,
-                                   training=True, rng=key, dtype=dtype)
-        return softmax_cross_entropy(out, pbatch["label"]), kl
-    jf = jax.jit(fwd)
-    t_fwd = timeit(jf, norm_params, state.sn_state, pbatch["image"])
-    print(f"forward (train):       {t_fwd*1e3:8.1f} ms", flush=True)
+    div = steps * 1e3  # self-times are in us, summed over `steps` steps
+    tot = sum((row[ix["total_self_time"]] or 0) for row in rows)
+    remat = sum((row[ix["total_self_time"]] or 0) for row in rows
+                if ".remat" in (row[ix["hlo_op_name"]] or ""))
+    print(f"\ntotal {tot/div:.1f} ms/step; "
+          f"XLA-remat duplicates {remat/div:.1f} ms/step")
 
-    # 4. forward+backward (no optimizer)
-    def fwdbwd(norm_params, sn_state, x):
-        def loss_fn(p):
-            with prenormalized_scope():
-                out, kl, _ = vit_apply(cfg.model, p, sn_state, x,
-                                       training=True, rng=key, dtype=dtype)
-            return softmax_cross_entropy(out, pbatch["label"])
-        return jax.grad(loss_fn)(norm_params)
-    jb = jax.jit(fwdbwd)
-    t_bwd = timeit(jb, norm_params, state.sn_state, pbatch["image"])
-    print(f"forward+backward:      {t_bwd*1e3:8.1f} ms", flush=True)
-    grads = jax.block_until_ready(jb(norm_params, state.sn_state,
-                                     pbatch["image"]))
+    byop: collections.Counter = collections.Counter()
+    for row in rows:
+        fw = row[ix["tf_op_name"]] or "?"
+        parts = fw.split("/")
+        key = "/".join(parts[-3:]) if len(parts) > 3 else fw
+        byop[key] += row[ix["total_self_time"]] or 0
+    for k, t in byop.most_common(top):
+        print(f"{t/div:8.2f} ms  {k[:110]}")
 
-    # 5. optimizer only
-    def opt(grads, opt_state, params):
-        import optax
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_opt
-    jo = jax.jit(opt)
-    t_opt = timeit(jo, grads, state.opt_state, state.params)
-    print(f"optimizer:             {t_opt*1e3:8.1f} ms", flush=True)
 
-    # 6. full step, remat off and on
-    for remat in (False, True):
-        step_fn = make_train_step(cfg.model, tx, "cls", dtype=dtype,
-                                  remat=remat,
-                                  preprocess=make_cls_preprocess(1000, 224))
-        js = jax.jit(step_fn, donate_argnums=0)
-        st = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
-        st, m = js(st, batch)
-        jax.block_until_ready(st.params)
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(5):
-                st, m = js(st, batch)
-            jax.block_until_ready(st.params)
-            times.append((time.perf_counter() - t0) / 5)
-        t_full = float(np.percentile(times, 50))
-        print(f"full step (remat={remat!s:5}): {t_full*1e3:6.1f} ms "
-              f"({bs/t_full:.1f} img/s)", flush=True)
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="imagenet-cls-224")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--task", default="cls", choices=["cls", "reg"])
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--trace-dir", default=None)
+    args = ap.parse_args()
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="calm_trace_")
+    capture(args.config, args.batch, args.steps, args.task, trace_dir)
+    aggregate(trace_dir, args.steps, args.top)
 
 
 if __name__ == "__main__":
