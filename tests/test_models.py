@@ -146,3 +146,24 @@ def test_param_count_tiny():
     params, _ = vit_init(TINY_VIT, jax.random.PRNGKey(0))
     n = sum(x.size for x in jax.tree.leaves(params))
     assert n == 1_551_602  # pinned: tiny cls config
+
+
+def test_conv_impl_variants_match(monkeypatch):
+    """The CALM_CONV_IMPL experimental formulations (matmul 1x1s + lax or
+    9-tap depthwise) are numerically equivalent to the default lax.conv
+    chain (models/block.py conv_residual_apply)."""
+    from calm_vit_dte_tpu.models.block import (
+        conv_residual_apply, conv_residual_init,
+    )
+
+    params, st = conv_residual_init(jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 48)) * 0.5
+    outs = {}
+    for impl in ("lax", "mix", "tap"):
+        monkeypatch.setenv("CALM_CONV_IMPL", impl)
+        y, _ = conv_residual_apply(params, st, x, training=True,
+                                   dtype=jnp.float32)
+        outs[impl] = np.asarray(y)
+    for impl in ("mix", "tap"):
+        np.testing.assert_allclose(outs[impl], outs["lax"], rtol=2e-5,
+                                   atol=2e-5, err_msg=impl)
