@@ -129,6 +129,12 @@ def conv_residual_apply(params: dict, state: dict, x_seq: jax.Array, *,
     import os
 
     impl = os.environ.get("CALM_CONV_IMPL", "lax")
+    if impl not in ("lax", "mix", "tap"):
+        # An unknown value (typo, stale experiment flag) must not silently
+        # select a different formulation: in a multi-host SPMD program an
+        # env var differing across hosts or traces would change numerics.
+        raise ValueError(
+            f"CALM_CONV_IMPL={impl!r}: expected 'lax', 'mix', or 'tap'")
     if impl != "lax":
         from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
 
@@ -236,4 +242,10 @@ def block_apply(cfg: BlockConfig, params: dict, state: dict, x: jax.Array,
         use_mask=use_mask)
     x_img, new_state["proj"] = conv_residual_apply(
         params["proj"], state["proj"], x, training=training, dtype=dtype)
+    from jax.ad_checkpoint import checkpoint_name
+
+    # Named so the remat policy can SAVE the conv residual: the fused conv
+    # kernel then runs once per step instead of fwd + remat-replay + bwd
+    # (train/step.py save list; 38 MB bf16 per stage at batch 128/S=224).
+    x_img = checkpoint_name(x_img, "conv_out")
     return x + x_img, new_state

@@ -59,11 +59,14 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
         # HBM, letting the big per-chip batches (484/456) fit. Attention
         # outputs are SAVED (checkpoint_name in ops/attention.py), so the
         # backward never re-runs the fused attention kernels — only the
-        # cheap linear/elementwise chain recomputes.
+        # cheap linear/elementwise chain recomputes. Conv residuals are
+        # saved too (checkpoint_name in models/block.py), so the fused conv
+        # kernel runs fwd once + bwd once per step instead of
+        # fwd + remat-replay + bwd (38 MB bf16 per stage at b128/S224).
         apply_fn = jax.checkpoint(
             _train_apply,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "attn_out"))
+                "attn_out", "conv_out"))
     else:
         apply_fn = _train_apply
 
