@@ -95,6 +95,32 @@ def supported(h: int, sq: int, skv: int, d: int = 64) -> bool:
     return sq == skv and _pick_tiles(1, h, sq, d, d) is not None
 
 
+def _pick_tiles_rope(b: int, h: int, s: int, dc: int, dr: int,
+                     dv: int) -> tuple[int, int] | None:
+    """Tiling for the rope-fused path. Its backward kernel carries MORE
+    VMEM than the plain backward (`_est_bytes`): an fp32 (bt,h,s,d) dk
+    scratch, fp32 dkc/dkr outputs (vs one dk accumulator), and four (s,dr)
+    cos/sin table-grad blocks — so a shape can fit the plain kernel yet
+    blow VMEM here. Same 3x Mosaic-overhead multiplier as `_est_bytes`."""
+    d = dc + dr
+    if d == dv and (b, h, s, d) in _MEASURED_TILES:
+        # Measured winners were swept on the rope path itself (the
+        # production flagship runs through fused_rope_attention).
+        return _MEASURED_TILES[(b, h, s, d)]
+    for bt in (16, 8, 4, 2, 1):
+        if b % bt:
+            continue
+        for tq in (512, 256, 128, 64):
+            tile = min(tq, s)
+            if s % tile:
+                continue
+            rope_extra = 3 * 4 * (bt * h * s * d + 4 * s * dr)
+            if (_est_bytes(bt, h, tile, s, d, dv) + rope_extra
+                    <= _TILE_BUDGET):
+                return bt, tile
+    return None
+
+
 def _pick_tiles_fwd(b: int, h: int, s: int, d: int,
                     dv: int) -> tuple[int, int] | None:
     """Forward-only tiling: no dk/dv accumulators, ~3 live fp32 score-tile
@@ -555,7 +581,8 @@ def fused_masked_attention(q, k, v, w1, b1, w2, b2, *, scale: float, dtype,
 
 def rope_supported(b: int, h: int, sq: int, skv: int, dc: int,
                    dr: int) -> bool:
-    return sq == skv and _pick_tiles(b, h, sq, dc + dr, dc + dr) is not None
+    return (sq == skv
+            and _pick_tiles_rope(b, h, sq, dc, dr, dc + dr) is not None)
 
 
 @functools.lru_cache(maxsize=None)
@@ -574,7 +601,7 @@ def _make_rope_fused(scale: float, dtype_name: str, use_mask: bool,
     dtype = jnp.dtype(dtype_name)
     b, h, s, dc, dr, dv, s2 = shapes
     d = dc + dr
-    tiles = _pick_tiles(b, h, s, d, dv)
+    tiles = _pick_tiles_rope(b, h, s, dc, dr, dv)
     if tiles is None:
         raise ValueError(f"no feasible tiling for B={b}, H={h}, S={s}")
     bt, tq = tiles

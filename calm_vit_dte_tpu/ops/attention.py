@@ -293,6 +293,15 @@ def masked_rope_attention(qc, qr, kc, kr, v, rope_q: dict, rope_k: dict,
 
     impl, _ = _pick_impl(b, h, sq, skv, d)
     if impl == "pallas":
+        # The rope-fused backward carries more VMEM than the plain kernel
+        # (_pick_impl's estimate): re-check with the rope-specific
+        # estimator, falling back to XLA rotation + standard dispatch for
+        # near-budget shapes that would fail Mosaic at runtime.
+        from calm_vit_dte_tpu.kernels import axial_attention as ka
+
+        if not ka.rope_supported(b, h, sq, skv, dc, dr):
+            impl = "fallback"
+    if impl == "pallas":
         from jax.ad_checkpoint import checkpoint_name
 
         from calm_vit_dte_tpu.kernels.axial_attention import (

@@ -89,23 +89,42 @@ def maybe_init_distributed() -> None:
                       f"failed ({e}); continuing single-process", flush=True)
 
 
-def _compile_barrier(jit_step, state, batch) -> None:
+def _ensure_compilation_cache() -> None:
+    """Enable the persistent compilation cache if nothing configured it.
+
+    `jit_step.lower(...).compile()` does NOT populate the jit dispatch
+    cache on this JAX, so without a disk cache each process would compile
+    the step a second time after the barrier — re-introducing the compile
+    skew the barrier exists to fix (and doubling startup)."""
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/calm_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older JAX without the flag: AOT reuse below still covers it
+
+
+def _compile_barrier(jit_step, state, batch):
     """Multi-host: compile the train step BEFORE executing it, then hold
-    every process at a coordination-service barrier.
+    every process at a coordination-service barrier. Returns the
+    AOT-compiled executable (or None single-host) so the caller can run it
+    directly instead of re-dispatching — and re-compiling — through jit.
 
     The first execution of a sharded program creates its cross-process
     collective context, whose address key-exchange has a hard ~30s
     timeout; per-process compile-time skew (cold caches, different host
     speeds) routinely exceeds that, killing the job with
     "collectives context initialization failed: GetKeyValue() timed out"
-    before the first step ever runs. Compiling ahead of time (the result
-    lands in the persistent compilation cache) and syncing on the
-    long-timeout coordination-service barrier — NOT on a collective,
-    which would have the same 30s problem — makes all processes enter the
-    first collective together."""
+    before the first step ever runs. Compiling ahead of time and syncing
+    on the long-timeout coordination-service barrier — NOT on a
+    collective, which would have the same 30s problem — makes all
+    processes enter the first collective together."""
     if jax.process_count() <= 1:
-        return
-    jit_step.lower(state, batch).compile()
+        return None
+    compiled = jit_step.lower(state, batch).compile()
     try:
         from jax._src import distributed
 
@@ -115,6 +134,7 @@ def _compile_barrier(jit_step, state, batch) -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("calm_step_compile")
+    return compiled
 
 
 def build_dataset(cfg: TrainConfig, split: str = "train"):
@@ -133,6 +153,7 @@ def build_dataset(cfg: TrainConfig, split: str = "train"):
 def train(cfg: TrainConfig, max_steps: int | None = None,
           mesh=None) -> TrainState:
     maybe_init_distributed()
+    _ensure_compilation_cache()
     mesh = mesh if mesh is not None else make_mesh()
     repl = replicated_sharding(mesh)
     data_sh = batch_sharding(mesh)
@@ -159,7 +180,10 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
 
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.beta1, cfg.beta2,
                         cfg.epochs, steps_per_epoch, cfg.clip_norm,
-                        cfg.eta_min)
+                        cfg.eta_min, schedule=cfg.schedule,
+                        lr_step_size=cfg.lr_step_size,
+                        lr_gamma=cfg.lr_gamma,
+                        decoupled_wd=cfg.decoupled_wd)
     state = create_train_state(params, sn_state, tx,
                                jax.random.PRNGKey(cfg.init_seed + 1))
     state = jax.device_put(state, repl)
@@ -212,7 +236,12 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
         except StopIteration:
             batch = None
         if epoch == start_epoch and batch is not None:
-            _compile_barrier(jit_step, state, batch)
+            compiled = _compile_barrier(jit_step, state, batch)
+            if compiled is not None:
+                # Run the AOT executable directly: shapes/shardings are
+                # loop-invariant, and this skips the post-barrier second
+                # compile entirely.
+                jit_step = compiled
         i = 0
         while batch is not None:
             state, metrics = jit_step(state, batch)
@@ -254,11 +283,23 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
 def _dump_samples(cfg: TrainConfig, state: TrainState, batch) -> None:
     from calm_vit_dte_tpu.data.pipeline import make_reg_preprocess
     from calm_vit_dte_tpu.models.vit import vit_apply
+    from calm_vit_dte_tpu.nn.spectral_norm import (
+        normalize_tree,
+        prenormalized_scope,
+    )
 
     pre = make_reg_preprocess(cfg.crop)
     proc = jax.jit(lambda b: pre(jax.random.PRNGKey(0), b))(batch)
-    tokens, _, _ = jax.jit(
-        lambda p, s, x: vit_apply(cfg.model, p, s, x, training=False,
-                                  dtype=jnp.bfloat16)
-    )(state.params, state.sn_state, proc["image"])
+
+    def fwd(p, s, x):
+        # Same weight path as the eval step and serve.Predictor: spectral-
+        # normalize first, then run with pre-normalized weights — dumped
+        # samples come from exactly the function being evaluated.
+        norm_params, _ = normalize_tree(p, s, training=False)
+        with prenormalized_scope():
+            tokens, _, _ = vit_apply(cfg.model, norm_params, s, x,
+                                     training=False, dtype=jnp.bfloat16)
+        return tokens
+
+    tokens = jax.jit(fwd)(state.params, state.sn_state, proc["image"])
     save_samples(tokens, cfg.save_samples_dir)

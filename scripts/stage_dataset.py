@@ -139,10 +139,19 @@ def extract_train(tar_path: str, out_dir: str) -> None:
             cls_dir = os.path.join(out_dir, wnid)
             if os.path.isdir(cls_dir) and os.listdir(cls_dir):
                 continue
-            os.makedirs(cls_dir, exist_ok=True)
+            # Extract to a temp dir, then rename into place: a class dir
+            # only ever appears complete, so an interrupted extraction is
+            # redone on resume instead of being skipped half-full.
+            tmp_dir = cls_dir + ".staging"
+            if os.path.isdir(tmp_dir):
+                shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir)
             inner_f = outer.extractfile(member)
             with tarfile.open(fileobj=inner_f) as inner:
-                inner.extractall(cls_dir, filter="data")
+                inner.extractall(tmp_dir, filter="data")
+            if os.path.isdir(cls_dir):  # existed but empty
+                os.rmdir(cls_dir)
+            os.replace(tmp_dir, cls_dir)
             print(f"  extracted {wnid}")
 
 

@@ -167,3 +167,22 @@ def test_conv_impl_variants_match(monkeypatch):
     for impl in ("mix", "tap"):
         np.testing.assert_allclose(outs[impl], outs["lax"], rtol=2e-5,
                                    atol=2e-5, err_msg=impl)
+
+
+def test_conv_impl_env_var_validated(monkeypatch):
+    """CALM_CONV_IMPL is a trace-time experiment switch: an unknown value
+    must raise, not silently pick a formulation (multi-host SPMD programs
+    must not change numerics on a typo'd env var)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from calm_vit_dte_tpu.models.block import conv_residual_apply, \
+        conv_residual_init
+
+    params, state = conv_residual_init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 8, 24))
+    monkeypatch.setenv("CALM_CONV_IMPL", "bogus")
+    with pytest.raises(ValueError, match="CALM_CONV_IMPL"):
+        conv_residual_apply(params, state, x, training=False,
+                            dtype=jnp.float32)

@@ -48,7 +48,10 @@ def test_two_process_trainer_end_to_end(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # Cold-cache compile of the 4-device step takes ~3.5 min/process on
+        # a 1-core host, and the two processes compile concurrently — 600s
+        # flakes there. Warm .jax_cache runs finish in well under a minute.
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"

@@ -85,3 +85,31 @@ class TestExtract:
         assert os.listdir(out / "n01440764") == ["n01440764_1.JPEG"]
         # Idempotent: re-run skips populated class dirs.
         stage_dataset.extract_train(str(outer), str(out))
+
+    def test_extract_train_redoes_interrupted_class(self, tmp_path):
+        """A class dir is populated ATOMICALLY (temp dir + os.replace):
+        an interruption can only leave a .staging dir, which is redone —
+        never a half-full class dir that would be skipped forever."""
+        inner_buf = io.BytesIO()
+        with tarfile.open(fileobj=inner_buf, mode="w") as tf:
+            for name in ("a_1.JPEG", "a_2.JPEG"):
+                data = b"img"
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        outer = tmp_path / "train.tar"
+        with tarfile.open(outer, "w") as tf:
+            payload = inner_buf.getvalue()
+            info = tarfile.TarInfo("n02000001.tar")
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+        out = tmp_path / "train"
+        # Simulate an interrupted run: leftover staging junk + an empty
+        # (created-but-never-populated) class dir.
+        (out / "n02000001.staging").mkdir(parents=True)
+        (out / "n02000001.staging" / "partial.JPEG").write_bytes(b"x")
+        (out / "n02000001").mkdir()
+        stage_dataset.extract_train(str(outer), str(out))
+        assert sorted(os.listdir(out / "n02000001")) == ["a_1.JPEG",
+                                                         "a_2.JPEG"]
+        assert not (out / "n02000001.staging").exists()

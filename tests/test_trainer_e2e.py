@@ -65,7 +65,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     # Wait for training to actually make steps (log_every=1 prints per
     # step), then preempt.
     saw_step = False
-    deadline = time.time() + 540
+    deadline = time.time() + 1200  # cold-cache compile: ~3.5 min on 1 core
     lines = []
     while time.time() < deadline:
         line = proc.stdout.readline()
@@ -93,6 +93,59 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     out2 = subprocess.run(
         [sys.executable, os.path.join(here, "_sigterm_trainer_main.py"),
          ckpt, "resume"],
-        capture_output=True, text=True, timeout=540, env=env)
+        capture_output=True, text=True, timeout=1200, env=env)
     assert out2.returncode == 0, out2.stdout[-2000:] + out2.stderr[-2000:]
     assert f"resumed from step {step}" in out2.stdout, out2.stdout[-2000:]
+
+
+def test_dumped_samples_match_eval_normalized_forward(tmp_path):
+    """_dump_samples must render the SAME function the eval step runs:
+    spectral-normalized weights (normalize_tree + prenormalized_scope),
+    not raw params (train/step.py:124, serve.py). Compares the dumped PNG
+    bytes against the eval-path forward's sigmoid output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from calm_vit_dte_tpu.data.pipeline import make_reg_preprocess
+    from calm_vit_dte_tpu.models.vit import vit_apply
+    from calm_vit_dte_tpu.nn.spectral_norm import (
+        normalize_tree,
+        prenormalized_scope,
+    )
+    from calm_vit_dte_tpu.train.trainer import _dump_samples
+
+    out_dir = str(tmp_path / "samples")
+    cfg = get_config("tiny-reg", checkpoint_dir=str(tmp_path / "ckpt"),
+                     epochs=1, global_batch_size=16,
+                     save_samples_dir=out_dir)
+    state = train(cfg, max_steps=1)
+
+    rng = np.random.default_rng(7)
+    batch = {"image": rng.integers(
+        0, 255, size=(4, cfg.image_size, cfg.image_size, 3),
+        dtype=np.uint8)}
+    _dump_samples(cfg, state, {k: jnp.asarray(v)
+                               for k, v in batch.items()})
+
+    pre = make_reg_preprocess(cfg.crop)
+    # Same jitted preprocess invocation as _dump_samples (the augmentation
+    # draw differs between eager and jit tracing of the same key).
+    proc = jax.jit(lambda b: pre(jax.random.PRNGKey(0), b))(
+        {"image": jnp.asarray(batch["image"])})
+    norm_params, _ = normalize_tree(state.params, state.sn_state,
+                                    training=False)
+    with prenormalized_scope():
+        tokens, _, _ = jax.jit(
+            lambda p, s, x: vit_apply(cfg.model, p, s, x, training=False,
+                                      dtype=jnp.bfloat16)
+        )(norm_params, state.sn_state, proc["image"])
+    t = np.asarray(tokens, dtype=np.float32)
+    b, s, _ = t.shape
+    expected = 1.0 / (1.0 + np.exp(-t.reshape(b, s, s, 3)))
+    expected_png = (expected * 255).astype(np.uint8)
+
+    got = np.asarray(Image.open(f"{out_dir}/sample_0.png"))
+    # bf16 forward + uint8 quantization: allow off-by-one pixel levels.
+    assert np.abs(got.astype(int) - expected_png[0].astype(int)).max() <= 1
