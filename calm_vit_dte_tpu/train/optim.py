@@ -33,12 +33,29 @@ def cosine_per_epoch_schedule(base_lr: float, epochs: int,
     return schedule
 
 
+def step_lr_schedule(base_lr: float, steps_per_epoch: int,
+                     step_size: int = 5, gamma: float = 0.1):
+    """torch StepLR stepped once per epoch (reference single-node driver,
+    CALM_ViT_V2.py:152): lr(step) = base * gamma^(epoch // step_size)."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return base_lr * gamma ** (epoch // step_size).astype(jnp.float32)
+
+    return schedule
+
+
 def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
                    b1: float = 0.9, b2: float = 0.98, epochs: int = 65,
                    steps_per_epoch: int = 1000, clip_norm: float = 1.0,
                    eta_min: float = 1e-6,
                    skip_nonfinite: bool = True,
                    flatten: bool = True,
+                   *,
+                   schedule: str = "cosine-epoch",
+                   lr_step_size: int = 5,
+                   lr_gamma: float = 0.1,
+                   decoupled_wd: bool = True,
                    ) -> optax.GradientTransformation:
     """skip_nonfinite reproduces torch GradScaler's step-skipping on inf/nan
     gradients (the only thing the scaler actually did under bf16; reference:
@@ -49,22 +66,44 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
     (~30 ms/step at 42M params); flattened it is a handful of large VPU
     passes. Use flatten=False under tensor parallelism: the flat vector
     cannot carry per-param TP shardings, so the moments must keep the param
-    tree structure (see parallel.mesh.state_shardings)."""
-    schedule = cosine_per_epoch_schedule(base_lr, epochs, steps_per_epoch,
-                                         eta_min)
-    if flatten:
-        return _fused_flat_adamw(schedule, b1, b2, 1e-8, weight_decay,
+    tree structure (see parallel.mesh.state_shardings).
+
+    schedule='steplr' + decoupled_wd=False reproduce the single-node
+    driver's optim.Adam(lr, weight_decay=0.02) + StepLR(5, 0.1)
+    (CALM_ViT_V2.py:151-152): torch Adam's weight_decay is COUPLED L2
+    (added to the gradient before the moments), unlike the distributed
+    trainers' AdamW."""
+    if schedule == "steplr":
+        sched = step_lr_schedule(base_lr, steps_per_epoch, lr_step_size,
+                                 lr_gamma)
+    elif schedule == "cosine-epoch":
+        sched = cosine_per_epoch_schedule(base_lr, epochs, steps_per_epoch,
+                                          eta_min)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if flatten and decoupled_wd:
+        return _fused_flat_adamw(sched, b1, b2, 1e-8, weight_decay,
                                  clip_norm, skip_nonfinite)
-    tx = optax.chain(
-        optax.clip_by_global_norm(clip_norm),
-        optax.adamw(learning_rate=schedule, b1=b1, b2=b2, eps=1e-8,
-                    weight_decay=weight_decay),
-    )
+    if decoupled_wd:
+        inner = optax.adamw(learning_rate=sched, b1=b1, b2=b2, eps=1e-8,
+                            weight_decay=weight_decay)
+    else:
+        inner = optax.chain(
+            optax.add_decayed_weights(weight_decay),  # coupled L2, pre-Adam
+            optax.adam(learning_rate=sched, b1=b1, b2=b2, eps=1e-8),
+        )
+    tx = optax.chain(optax.clip_by_global_norm(clip_norm), inner)
     if skip_nonfinite:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return tx
 
 
+# CHECKPOINT COMPATIBILITY: FusedAdamWState replaced the round-1
+# optax.flatten(apply_if_finite(chain(...))) state in round 2 — checkpoints
+# saved before that cannot be restored for resume (Orbax will fail on the
+# mismatched opt_state tree). No migration shim is provided: no pre-change
+# production checkpoints exist; if one surfaces, restore params-only via
+# warm_start_params and retrain the optimizer moments.
 class FusedAdamWState(NamedTuple):
     count: jax.Array       # applied steps (drives bias correction + LR)
     notfinite: jax.Array   # consecutive skipped steps

@@ -37,6 +37,11 @@ class TrainConfig:
     num_workers: int = 5
     save_samples_dir: str | None = None
     remat: bool = True                # forward rematerialization in backprop
+    schedule: str = "cosine-epoch"    # or 'steplr' (single-node driver)
+    lr_step_size: int = 5             # StepLR step_size (epochs)
+    lr_gamma: float = 0.1             # StepLR gamma
+    decoupled_wd: bool = True         # AdamW; False = torch Adam coupled L2
+    microbatch: int = 1               # grad-accumulation splits per step
 
 
 def _vit_224(generate: bool, out_features: int) -> ViTConfig:
@@ -87,6 +92,15 @@ _register(TrainConfig(
     name="imagenet-reg-224", model=_vit_224(True, 672), task="reg",
     global_batch_size=1824, epochs=65,
     save_samples_dir="samples"))
+
+# BASELINE.json configs[1] variant: the reference's SINGLE-NODE `__main__`
+# hyperparameter set (CALM_ViT_V2.py:151-152,183,186): optim.Adam(3.1e-3,
+# weight_decay=0.02) — COUPLED L2, torch Adam's default betas (0.9, 0.999)
+# — StepLR(step_size=5, gamma=0.1), batch 100, 5 epochs.
+_register(TrainConfig(
+    name="single-node-cls", model=_vit_224(False, 1000), task="cls",
+    global_batch_size=100, epochs=5, beta2=0.999, schedule="steplr",
+    lr_step_size=5, lr_gamma=0.1, decoupled_wd=False))
 
 # EncoderDecoder_8 256px defaults (reference Vi_Tools_CNN_less_V2.py:407-421).
 _register(TrainConfig(

@@ -181,3 +181,50 @@ def test_fused_adamw_matches_optax_chain():
         for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
+
+
+def test_steplr_coupled_adam_matches_torch():
+    """single-node-cls optimizer semantics (CALM_ViT_V2.py:151-152):
+    torch Adam(lr=3.1e-3, weight_decay=0.02) — COUPLED L2 — with
+    StepLR(step_size=5, gamma=0.1) stepped per epoch. Cross-checked
+    against real torch on a small param vector."""
+    import torch
+
+    lr, wd, spe = 3.1e-3, 0.02, 3
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(7,)).astype(np.float32)
+    grads = [rng.normal(size=(7,)).astype(np.float32) for _ in range(18)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd,
+                            betas=(0.9, 0.999))
+    tsched = torch.optim.lr_scheduler.StepLR(topt, step_size=5, gamma=0.1)
+    for e in range(6):  # 6 epochs x 3 steps
+        for i in range(spe):
+            g = grads[e * spe + i]
+            topt.zero_grad()
+            tp.grad = torch.tensor(g)
+            topt.step()
+        tsched.step()
+
+    tx = make_optimizer(lr, wd, 0.9, 0.999, epochs=6, steps_per_epoch=spe,
+                        clip_norm=1e9, schedule="steplr", lr_step_size=5,
+                        lr_gamma=0.1, decoupled_wd=False, flatten=False,
+                        skip_nonfinite=False)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    import optax
+
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), rtol=2e-4, atol=2e-6)
+
+
+def test_single_node_config_registered():
+    cfg = get_config("single-node-cls")
+    assert cfg.global_batch_size == 100 and cfg.epochs == 5
+    assert cfg.schedule == "steplr" and not cfg.decoupled_wd
+    assert cfg.beta2 == 0.999  # torch Adam default, not the 0.98 AdamW set
