@@ -41,14 +41,27 @@ from calm_vit_dte_tpu.train.state import TrainState
 
 def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
                     task: str, dtype=jnp.bfloat16, remat: bool = True,
-                    preprocess: Callable | None = None) -> Callable:
+                    preprocess: Callable | None = None,
+                    microbatches: int = 1) -> Callable:
     """task: 'cls' (CE on soft labels) or 'reg' (Huber + 0.1*KL).
 
     `preprocess(key, batch) -> batch` (e.g. data.pipeline.train_preprocess)
     runs INSIDE the jitted step, so host->device traffic is raw uint8 images
-    and augmentation/mixup fuse into the same XLA program as the model."""
+    and augmentation/mixup fuse into the same XLA program as the model.
+
+    `microbatches > 1` = gradient accumulation: the batch is split into
+    `microbatches` equal slices, a `lax.scan` accumulates mean gradients
+    across them, and ONE optimizer update is applied — semantically a
+    single large-batch step. This is how the reference's per-chip batch 484
+    (distributed_trainer_cls.py:166-167) runs here: the monolithic bs=484
+    graph crashes this environment's remote compiler, but the scanned body
+    compiles once at bs=484/k. Each microbatch draws a distinct
+    reparameterization key (fold_in of the step key), mirroring how a
+    monolithic batch would sample per-example noise."""
     if task not in ("cls", "reg"):
         raise ValueError(task)
+    if microbatches < 1:
+        raise ValueError(f"microbatches must be >= 1, got {microbatches}")
 
     def _train_apply(params, sn_state, x, rng):
         return vit_apply(cfg, params, sn_state, x, training=True, rng=rng,
@@ -76,7 +89,7 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
             data_rng = jax.random.fold_in(step_rng, 1)
             batch = preprocess(data_rng, batch)
 
-        def loss_fn(params):
+        def loss_fn(params, mb, mb_rng):
             # Hoist spectral normalization out of the (rematerialized) model
             # graph: one batched pre-pass over the weights instead of ~150
             # per-layer chains replayed in the backward (bit-identical;
@@ -85,21 +98,56 @@ def make_train_step(cfg: ViTConfig, tx: optax.GradientTransformation,
                                                  training=True)
             with prenormalized_scope():
                 out, kl, _ = apply_fn(norm_params, state.sn_state,
-                                      batch["image"], step_rng)
+                                      mb["image"], mb_rng)
             if task == "cls":
-                loss = softmax_cross_entropy(out, batch["label"])
+                loss = softmax_cross_entropy(out, mb["label"])
                 metrics = {
                     "loss": loss,
-                    "accuracy": dominant_class_accuracy(out, batch["label"]),
+                    "accuracy": dominant_class_accuracy(out, mb["label"]),
                     "kl": kl,
                 }
             else:
-                loss = reconstruction_loss(out, batch["image"], kl)
+                loss = reconstruction_loss(out, mb["image"], kl)
                 metrics = {"loss": loss, "kl": kl}
-            return loss, (metrics, new_sn, out)
+            return loss, (metrics, new_sn)
 
-        grads, (metrics, new_sn, out) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        if microbatches == 1:
+            grads, (metrics, new_sn) = grad_fn(state.params, batch, step_rng)
+        else:
+            # Slice the batch into (k, B/k, ...) and scan; the carry holds
+            # the running MEAN of grads/metrics (sum/k is folded into the
+            # accumulate so the carry magnitude matches the final result —
+            # no large-k overflow in the sum).
+            k = microbatches
+            b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if b % k != 0:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"microbatches {k}")
+            mbs = jax.tree_util.tree_map(
+                lambda a: a.reshape((k, b // k) + a.shape[1:]), batch)
+
+            def body(carry, xs):
+                g_acc, m_acc, _ = carry
+                mb, i = xs
+                grads_i, (metrics_i, new_sn_i) = grad_fn(
+                    state.params, mb, jax.random.fold_in(step_rng, 2 + i))
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g / k, g_acc, grads_i)
+                m_acc = jax.tree_util.tree_map(
+                    lambda a, m: a + m / k, m_acc, metrics_i)
+                return (g_acc, m_acc, new_sn_i), None
+
+            zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            m_shape = jax.eval_shape(
+                lambda: grad_fn(state.params,
+                                jax.tree_util.tree_map(lambda a: a[0], mbs),
+                                step_rng)[1][0])
+            zeros_m = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+            (grads, metrics, new_sn), _ = jax.lax.scan(
+                body, (zeros_g, zeros_m, state.sn_state),
+                (mbs, jnp.arange(k)))
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # The fused optimizer computes the pre-clip global norm anyway

@@ -39,7 +39,9 @@ from calm_vit_dte_tpu.models.vit import vit_init
 from calm_vit_dte_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    param_shardings,
     replicated_sharding,
+    state_shardings,
 )
 from calm_vit_dte_tpu.train.checkpoint import (
     restore_checkpoint,
@@ -154,7 +156,8 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
           mesh=None) -> TrainState:
     maybe_init_distributed()
     _ensure_compilation_cache()
-    mesh = mesh if mesh is not None else make_mesh()
+    mesh = mesh if mesh is not None else make_mesh(model=cfg.mesh_model)
+    tp = mesh.shape.get("model", 1) > 1
     repl = replicated_sharding(mesh)
     data_sh = batch_sharding(mesh)
 
@@ -178,15 +181,24 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
             if is_chief():
                 print(f"no warm start ({e}); training fresh", flush=True)
 
+    # Under tensor parallelism the flat fused optimizer cannot carry
+    # per-param shardings — use the unflattened chain so AdamW moments
+    # shard identically to their params (parallel/mesh.py).
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.beta1, cfg.beta2,
                         cfg.epochs, steps_per_epoch, cfg.clip_norm,
-                        cfg.eta_min, schedule=cfg.schedule,
+                        cfg.eta_min, flatten=not tp, schedule=cfg.schedule,
                         lr_step_size=cfg.lr_step_size,
                         lr_gamma=cfg.lr_gamma,
                         decoupled_wd=cfg.decoupled_wd)
     state = create_train_state(params, sn_state, tx,
                                jax.random.PRNGKey(cfg.init_seed + 1))
-    state = jax.device_put(state, repl)
+    if tp:
+        p_sh = param_shardings(mesh, state.params,
+                               min_shard_dim=cfg.tp_min_shard_dim)
+        state_sh = state_shardings(mesh, state, p_sh, tx)
+    else:
+        state_sh = repl
+    state = jax.device_put(state, state_sh)
 
     restored = restore_checkpoint(cfg.checkpoint_dir, state)
     if restored is not None:
@@ -198,8 +210,10 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
                   if cfg.task == "cls" else make_reg_preprocess(cfg.crop))
     step_fn = make_train_step(cfg.model, tx, cfg.task,
                               dtype=jnp.bfloat16, remat=cfg.remat,
-                              preprocess=preprocess)
-    jit_step = jax.jit(step_fn, donate_argnums=0)
+                              preprocess=preprocess,
+                              microbatches=cfg.microbatch)
+    jit_step = jax.jit(step_fn, donate_argnums=0,
+                       out_shardings=(state_sh, repl))
 
     # Preemption handling: checkpoint on SIGTERM, then exit cleanly — the
     # reference had restartPolicy:Never + fail-fast barrier scheduling and

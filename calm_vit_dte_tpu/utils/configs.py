@@ -42,6 +42,9 @@ class TrainConfig:
     lr_gamma: float = 0.1             # StepLR gamma
     decoupled_wd: bool = True         # AdamW; False = torch Adam coupled L2
     microbatch: int = 1               # grad-accumulation splits per step
+    mesh_model: int = 1               # tensor-parallel axis size (data axis
+                                      # spans the remaining devices)
+    tp_min_shard_dim: int = 512       # smallest weight dim sharded under TP
 
 
 def _vit_224(generate: bool, out_features: int) -> ViTConfig:

@@ -228,3 +228,72 @@ def test_single_node_config_registered():
     assert cfg.global_batch_size == 100 and cfg.epochs == 5
     assert cfg.schedule == "steplr" and not cfg.decoupled_wd
     assert cfg.beta2 == 0.999  # torch Adam default, not the 0.98 AdamW set
+
+
+def test_microbatch_accumulation_matches_manual_mean(tiny_step):
+    """microbatches=k must equal: mean over k slice-grads (each drawn with
+    fold_in(step_rng, 2+i)), one optimizer update — computed here manually
+    through the same loss pieces as an independent check on the scan."""
+    from calm_vit_dte_tpu.models.vit import vit_apply
+    from calm_vit_dte_tpu.nn.spectral_norm import (
+        normalize_tree,
+        prenormalized_scope,
+    )
+    from calm_vit_dte_tpu.train.losses import softmax_cross_entropy
+
+    from calm_vit_dte_tpu.train.state import create_train_state
+
+    state0, _, batch = tiny_step
+    cfg = get_config("tiny-cls")
+    # SGD(1.0) makes the param delta literally equal the mean gradient —
+    # comparing post-Adam params would be ill-conditioned (Adam's first
+    # step is +-lr per element, so reassociation noise on near-zero grads
+    # flips signs).
+    import optax
+
+    tx = optax.sgd(1.0)
+    state = create_train_state(state0.params, state0.sn_state, tx,
+                               jax.random.PRNGKey(1))
+    k = 2
+    step2 = jax.jit(make_train_step(cfg.model, tx, "cls",
+                                    dtype=jnp.float32, remat=False,
+                                    microbatches=k))
+    got, metrics = step2(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    step_rng = jax.random.fold_in(state.rng, state.step)
+    b = batch["image"].shape[0]
+
+    def loss_fn(params, mb_img, mb_lab, rng):
+        norm_params, _ = normalize_tree(params, state.sn_state,
+                                        training=True)
+        with prenormalized_scope():
+            out, kl, _ = vit_apply(cfg.model, norm_params, state.sn_state,
+                                   mb_img, training=True, rng=rng,
+                                   dtype=jnp.float32)
+        return softmax_cross_entropy(out, mb_lab)
+
+    grads = None
+    for i in range(k):
+        sl = slice(i * b // k, (i + 1) * b // k)
+        g = jax.grad(loss_fn)(state.params, batch["image"][sl],
+                              batch["label"][sl],
+                              jax.random.fold_in(step_rng, 2 + i))
+        grads = g if grads is None else jax.tree.map(
+            lambda a, x: a + x, grads, g)
+    grads = jax.tree.map(lambda a: a / k, grads)
+    delta = jax.tree.map(lambda p0, p1: p0 - p1, state.params, got.params)
+    for a, w in zip(jax.tree.leaves(delta), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w),
+                                   rtol=2e-3, atol=1e-6)
+
+
+def test_microbatch_requires_divisible_batch(tiny_step):
+    state, _, batch = tiny_step
+    cfg = get_config("tiny-cls")
+    tx = make_optimizer(1e-3, 0.02, epochs=2, steps_per_epoch=4)
+    step3 = jax.jit(make_train_step(cfg.model, tx, "cls",
+                                    dtype=jnp.float32, remat=False,
+                                    microbatches=3))
+    with pytest.raises(ValueError, match="not divisible"):
+        step3(state, batch)
