@@ -21,8 +21,12 @@ Performance notes (measured on v5e):
   * batch tiling (Bt > 1) amortizes per-grid-step fixed cost;
   * the mask-MLP weights are passed in BOTH orientations so no transpose
     ever runs inside the kernel (a per-grid-step VPU relayout otherwise);
-  * marginal throughput ~167 TFLOP/s bf16 at S=224/D=56 — near the ~44%
-    ceiling imposed by the K=56 contraction (MXU pads K to 128).
+  * marginal throughput ~167 TFLOP/s useful bf16 at S=224/D=56 = 85% of
+    the v5e chip peak (197 TFLOP/s bf16) and ~97% of this shape's blended
+    ceiling (~172 TFLOP/s): the QK^T/PV dots (11% of FLOPs) cap at 43.75%
+    of peak from the K=56 contraction (MXU pads K to 128), while the mask
+    MLP (89% of FLOPs, K=S/2S) runs near full ceiling. The kernel is at
+    its shape-imposed roofline; see NOTES.md "Roofline accounting".
 
 Query tiling makes the long-sequence (1024px, S=1024) stretch config work in
 the same kernel: K/V stay resident per batch tile while q streams; the mask

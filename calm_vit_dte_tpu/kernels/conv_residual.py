@@ -4,11 +4,16 @@ Reference (Vi_Tools_CNN_less_V2.py:379-385): 1x1 conv (3->32) -> exact GELU
 -> depthwise 3x3 (zero pad) -> exact GELU -> 1x1 conv (32->3), applied to
 the image-shaped (B, S, S, 3) view of the row tokens, result added back.
 
-Why fuse: in XLA this chain round-trips the (B, S, S, 32) hidden tensor
-through HBM ~4x per direction (411 MB bf16 at batch 128 / S 224), and the
-depthwise lowering wastes the MXU on a 32-group masked contraction.
-Measured standalone at B=128/S=224: lax.conv chain 12.7 ms fwd / 23.7 ms
-fwd+bwd; this kernel 6.0 ms fwd (see NOTES.md round-3 conv log).
+Where it wins (measured in-step on v5e, b128 — NOTES.md round-3 conv log):
+the FORWARD, ~3x over the XLA chain (12 vs 33 ms/step across the S>=128
+stages) — the 32-channel hidden tensor never leaves VMEM, where the XLA
+chain round-trips it through HBM (411 MB bf16 per stage at S=224).
+Production uses it on the no-backward eval/serve path. For TRAINING the
+lax chain wins: every fused backward tried (recomputing pallas kernel,
+saved-residual pallas, saved-residual XLA taps, saved-residual conv-vjp)
+lost in-step to XLA's fused NHWC autodiff (209.6-218.7 vs 202.0 ms step),
+whose backward fuses the 1x1 grads and elementwise chain better than any
+hand assembly of the same graph.
 
 Formulation (round 3; the round-2 per-channel-plane loop kernel lives in
 experimental/conv_residual_loop.py — VPU-bound ~100x SoL from 9
@@ -72,12 +77,16 @@ def _geom(s: int) -> tuple[int, int, int]:
 
 
 def supported(b: int, s: int) -> bool:
-    if s < 4:
+    # Below S=128 the XLA chain ties or wins (on-chip A/B, B=128: S=80
+    # lax 5.28 ms vs fused 5.42 fwd+bwd; S=128 13.76 vs 12.18; S=176
+    # 22.95 vs 15.27; S=224 34.95 vs 18.95) — the small-plane kernel has
+    # too little work per grid step to amortize its fixed costs.
+    if s < 128:
         return False
     _, _, npw = _geom(s)
-    # scratches (h bf16 + hm/hp f32 + dacc f32 = 14B/elem) + ~6 live fp32
-    # working values (24B/elem) per (32, NPW) plane.
-    return HIDDEN * npw * 38 <= 100 * 1024 * 1024
+    # scratches (h bf16 + hm/hp f32 + dacc f32 + dacc^T f32 = 18B/elem) +
+    # ~6 live fp32 working values (24B/elem) per (32, NPW) plane.
+    return HIDDEN * npw * 42 <= 100 * 1024 * 1024
 
 
 def _erf(x):
@@ -115,19 +124,23 @@ def _gelu_fast(x):
     return x * jnp.clip(raw, 0.0, 1.0)
 
 
+# d/dx[x*(0.5 + x*q(x^2))] = 0.5 + x*r(x^2) with r_k = 2(k+1)*q_k: the
+# EXACT derivative of the forward polynomial (interior of the clamp) as a
+# single same-degree Horner — ~11 VPU ops vs ~20 for the q/q' two-poly form
+# (the two dgelu passes were 6.7 ms of the S=224 backward kernel). At the
+# clamp boundary/clip region it deviates from the piecewise-exact derivative
+# by <= 5.2e-3 (measured), the same error class as the fit itself vs true
+# dgelu (5.1e-3) — under bf16 resolution either way.
+_RC = tuple(2.0 * (k + 1) * _QC[k] for k in range(7))
+
+
 def _dgelu_fast(x):
-    """d/dx of _gelu_fast — the derivative OF THE APPROXIMATION (training
-    sees a consistent function/gradient pair)."""
     xc = jnp.clip(x, -_CLAMP, _CLAMP)
-    raw, q, t = _phi_raw(xc)
-    qp = 6.0 * _QC[6]
-    for k in range(5, 0, -1):
-        qp = qp * t + k * _QC[k]
-    inner = jnp.logical_and(
-        jnp.logical_and(raw > 0.0, raw < 1.0),
-        jnp.abs(x) < _CLAMP)
-    dphi = jnp.where(inner, q + 2.0 * t * qp, 0.0)
-    return jnp.clip(raw, 0.0, 1.0) + x * dphi
+    t = xc * xc
+    r = _RC[6]
+    for c in _RC[5::-1]:
+        r = r * t + c
+    return 0.5 + xc * r
 
 
 def _gelu(x, cdtype):
@@ -148,6 +161,12 @@ def _conv1(x, w1_ref, b1_ref):
 def _dot(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
+
+
+def _eye():
+    return (jax.lax.broadcasted_iota(jnp.int32, (HIDDEN, HIDDEN), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (HIDDEN, HIDDEN), 1)
+            ).astype(jnp.float32)
 
 
 def _fill_bordered(ref, val, rs: int, np_: int):
@@ -198,7 +217,8 @@ def _nine_taps(center_ref, m_ref, p_ref, w_ref, bias_col, rs: int,
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, wdv_ref, w2_ref, b2_ref, mask_ref,
-                y_ref, h_ref, hm_ref, hp_ref, *, s: int, cdtype):
+                y_ref, h_out_ref, acc_out_ref, h_ref, hm_ref, hp_ref, *,
+                s: int, cdtype, save_resid: bool):
     rs, np_, npw = _geom(s)
     x = x_ref[0].astype(jnp.float32)
     mask = mask_ref[:]
@@ -213,11 +233,18 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, wdv_ref, w2_ref, b2_ref, mask_ref,
     g2 = _gelu(acc, cdtype) * mask
     y = _dot(w2_ref[:], g2) + b2_ref[:]
     y_ref[0] = (y * mask).astype(cdtype)
+    if save_resid:
+        # Stream the middle activations to HBM for the XLA backward
+        # (hybrid path): two extra (32, npw/np_) DMA writes (~1 ms total at
+        # b128/S224) instead of recomputing taps + weight-grad reductions
+        # in a VPU-bound backward kernel (measured 44 ms/step in-step).
+        h_out_ref[0] = h_ref[:]
+        acc_out_ref[0] = acc.astype(cdtype)
 
 
 def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w1t_ref, wdv_ref, w2t_ref,
                 mask_ref, dx_ref, wg_ref, h_ref, hm_ref, hp_ref, dacc_ref,
-                *, s: int, cdtype):
+                dacct_ref, *, s: int, cdtype):
     rs, np_, npw = _geom(s)
 
     @pl.when(pl.program_id(0) == 0)
@@ -239,23 +266,34 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w1t_ref, wdv_ref, w2t_ref,
                      rs, np_, flip=False)
     g2 = _gelu(acc, cdtype) * mask
 
-    # y = W2 @ g2 + b2 => dg2 = W2^T @ g; dw2[co, c] = <g_co, g2_c>.
+    # All weight-grad reductions run as NATURAL-LAYOUT MXU dots: transpose
+    # the (32, np_) gradient operands ONCE into (np_, C) scratch/values, so
+    # every contraction is (M, np_) @ (np_, N) with the contraction on the
+    # LHS lane axis and the RHS sublane axis — no per-dot Mosaic relayout.
+    # (The A@B^T lane-lane form re-laid out the RHS on every one of the 11
+    # dots: measured 5.6 ms of the S=224 backward; this form + the cheap
+    # dgelu cut the kernel ~2x.)
     dg2 = _dot(w2t_ref[:], g)
-    for co in range(3):
-        wg_ref[:, 14 + co:15 + co] += jnp.sum(
-            g2 * g[co:co + 1, :], axis=1, keepdims=True)
+    gt = g.T                                                      # (np_, 3)
+    wg_ref[:, 14:17] += _dot(g2.astype(jnp.float32), gt)          # dw2^T
 
+    ones_col = jnp.ones((np_, 1), jnp.float32)
+    eye = _eye()
     dacc = dg2 * _dgelu(acc, cdtype) * mask
-    wg_ref[:, 9:10] += jnp.sum(dacc, axis=1, keepdims=True)       # dbd
-    # dwd[a,b] = sum_p dacc[p] * h[p + delta_ab]: same aligned read
-    # pattern as the forward taps.
+    dacct_ref[:] = dacc.T
+    dacct = dacct_ref[:]
+    wg_ref[:, 9:10] += _dot(dacc, ones_col)                       # dbd
+    # dwd[a,b][c] = sum_p dacc[c,p] * h[c, p + delta_ab] = the diagonal of
+    # h_shift @ dacc^T — one MXU dot per tap (same aligned reads as the
+    # forward taps), then a 32x32 diag extraction.
     o = rs
     for a in range(3):
         roff = (a - 1) * rs
         for b_, ref in ((0, hm_ref), (1, h_ref), (2, hp_ref)):
+            m32 = _dot(ref[:, o + roff:o + roff + np_].astype(jnp.float32),
+                       dacct)
             wg_ref[:, a * 3 + b_:a * 3 + b_ + 1] += jnp.sum(
-                dacc * ref[:, o + roff:o + roff + np_].astype(jnp.float32),
-                axis=1, keepdims=True)
+                m32 * eye, axis=1, keepdims=True)
 
     # dh needs dacc's shifted copies; hm/hp are dead now — reuse them.
     _fill_bordered(dacc_ref, dacc, rs, np_)
@@ -267,21 +305,32 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w1t_ref, wdv_ref, w2t_ref,
                     flip=True)
 
     da1 = dh * _dgelu(a1, cdtype) * mask
-    wg_ref[:, 13:14] += jnp.sum(da1, axis=1, keepdims=True)       # db1
-    for j in range(3):
-        wg_ref[:, 10 + j:11 + j] += jnp.sum(
-            da1 * x[j:j + 1, :], axis=1, keepdims=True)           # dw1
+    wg_ref[:, 13:14] += _dot(da1, ones_col)                       # db1
+    wg_ref[:, 10:13] += _dot(da1, x.T)                            # dw1
     dx_ref[0] = _dot(w1t_ref[:], da1).astype(cdtype)
 
 
+def _fwd_kernel_plain(x_ref, w1_ref, b1_ref, wdv_ref, w2_ref, b2_ref,
+                      mask_ref, y_ref, h_ref, hm_ref, hp_ref, *, s: int,
+                      cdtype):
+    _fwd_kernel(x_ref, w1_ref, b1_ref, wdv_ref, w2_ref, b2_ref, mask_ref,
+                y_ref, None, None, h_ref, hm_ref, hp_ref, s=s,
+                cdtype=cdtype, save_resid=False)
+
+
 @functools.lru_cache(maxsize=None)
-def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
+def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False,
+                bwd_impl: str = "xla"):
     cdtype = jnp.dtype(dtype_name)
     b, s = shapes
     rs, np_, npw = _geom(s)
 
     img = pl.BlockSpec((1, 3, np_), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    himg = pl.BlockSpec((1, HIDDEN, npw), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    aimg = pl.BlockSpec((1, HIDDEN, np_), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
     def const(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -303,7 +352,7 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
     f_scr = pltpu.VMEM((HIDDEN, npw), jnp.float32)
 
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, s=s, cdtype=cdtype),
+        functools.partial(_fwd_kernel_plain, s=s, cdtype=cdtype),
         grid=(b,),
         in_specs=[img, const((HIDDEN, 3)), const((HIDDEN, 1)),
                   const((HIDDEN, 10)), const((3, HIDDEN)), const((3, 1)),
@@ -316,6 +365,24 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
             transcendentals=2 * gelu_cost),
         compiler_params=params, interpret=interpret)
 
+    fwd_resid_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, s=s, cdtype=cdtype, save_resid=True),
+        grid=(b,),
+        in_specs=[img, const((HIDDEN, 3)), const((HIDDEN, 1)),
+                  const((HIDDEN, 10)), const((3, HIDDEN)), const((3, 1)),
+                  const((1, np_))],
+        out_specs=(img, himg, aimg),
+        out_shape=(jax.ShapeDtypeStruct((b, 3, np_), cdtype),
+                   jax.ShapeDtypeStruct((b, HIDDEN, npw), cdtype),
+                   jax.ShapeDtypeStruct((b, HIDDEN, np_), cdtype)),
+        scratch_shapes=[h_scr, f_scr, f_scr],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm,
+            bytes_accessed=traffic + 2 * b * np_ * HIDDEN *
+            jnp.dtype(cdtype).itemsize,
+            transcendentals=2 * gelu_cost),
+        compiler_params=params, interpret=interpret)
+
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, s=s, cdtype=cdtype),
         grid=(b,),
@@ -325,7 +392,8 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
         out_specs=(img, const((HIDDEN, 24))),
         out_shape=(jax.ShapeDtypeStruct((b, 3, np_), cdtype),
                    jax.ShapeDtypeStruct((HIDDEN, 24), jnp.float32)),
-        scratch_shapes=[h_scr, f_scr, f_scr, f_scr],
+        scratch_shapes=[h_scr, f_scr, f_scr, f_scr,
+                        pltpu.VMEM((np_, HIDDEN), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=3 * flops_mm, bytes_accessed=2 * traffic,
             transcendentals=4 * gelu_cost),
@@ -345,11 +413,11 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
         w1v, b1v, wdv, w2v, b2v = pack_weights(w1, b1, wd, bd, w2, b2)
         return fwd_call(xp, w1v, b1v, wdv, w2v, b2v, mask)
 
-    def fwd(xp, w1, b1, wd, bd, w2, b2):
+    def fwd_pallas(xp, w1, b1, wd, bd, w2, b2):
         return fused(xp, w1, b1, wd, bd, w2, b2), (xp, w1, b1, wd, bd, w2,
                                                    b2)
 
-    def bwd(res, gy):
+    def bwd_pallas(res, gy):
         xp, w1, b1, wd, bd, w2, b2 = res
         w1v, b1v, wdv, w2v, _ = pack_weights(w1, b1, wd, bd, w2, b2)
         gp = (gy.astype(jnp.float32) * mask).astype(gy.dtype)
@@ -365,7 +433,74 @@ def _make_fused(dtype_name: str, shapes: tuple, interpret: bool = False):
                 dbd.astype(bd.dtype), dw2.astype(w2.dtype),
                 db2.astype(b2.dtype))
 
-    fused.defvjp(fwd, bwd)
+    def fwd_xla(xp, w1, b1, wd, bd, w2, b2):
+        # The hybrid path: the forward kernel streams its middle
+        # activations (bordered h, acc) to HBM (~1 ms of DMA at b128/S224)
+        # so the backward is pure XLA elementwise+reduce passes over them —
+        # measured far cheaper than either the VPU-bound pallas backward
+        # (44 ms/step) or lax.conv autodiff (28 ms/step).
+        w1v, b1v, wdv, w2v, b2v = pack_weights(w1, b1, wd, bd, w2, b2)
+        y, h, acc = fwd_resid_call(xp, w1v, b1v, wdv, w2v, b2v, mask)
+        return y, (xp, h, acc, w1, b1, wd, bd, w2, b2)
+
+    def bwd_xla(res, gy):
+        xp, h, acc, w1, b1, wd, bd, w2, b2 = res
+        maskf = jnp.asarray(mask)                       # (1, np_)
+        gp = gy.astype(jnp.float32) * maskf             # (b, 3, np_)
+        accf = acc.astype(jnp.float32)
+        w1f = w1.astype(jnp.float32)
+        w2f = w2.astype(jnp.float32)
+
+        g2 = _gelu(accf, cdtype) * maskf
+        dw2 = jnp.einsum("bop,bcp->oc", gp, g2)
+        db2 = jnp.sum(gp, axis=(0, 2))
+        dg2 = jnp.einsum("oc,bop->bcp", w2f, gp)
+        dacc = dg2 * _dgelu(accf, cdtype) * maskf
+        dbd = jnp.sum(dacc, axis=(0, 2))
+
+        # dwd / dh through XLA's grouped-conv machinery (its autodiff
+        # lowering of depthwise convs is what the production lax path
+        # already runs at ~28 ms/step for all stages — faster than any
+        # hand-rolled tap formulation tried, in pallas or jnp). The
+        # kernel's bordered flat layout reshapes for FREE into a padded
+        # NCHW view: h (b, 32, npw) -> (b, 32, s+4, rs) with the halo rows
+        # already zero, dacc (b, 32, np_) -> (b, 32, s+2, rs).
+        hv = h.reshape(h.shape[0], HIDDEN, s + 4, rs)
+        wd_oihw = jnp.transpose(wd, (2, 0, 1))[:, None].astype(hv.dtype)
+
+        def mid(hh, w):
+            return jax.lax.conv_general_dilated(
+                hh, w, (1, 1), ((0, 0), (1, 1)),
+                feature_group_count=HIDDEN,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+        # vjp in the residuals' dtype (bf16 on TPU) with the cotangent
+        # cast to match — the same operand precision as the lax production
+        # path's autodiff (XLA accumulates conv grads in fp32 internally).
+        _, vjp_mid = jax.vjp(mid, hv, wd_oihw)
+        dh_v, dwd_oihw = vjp_mid(
+            dacc.astype(hv.dtype).reshape(dacc.shape[0], HIDDEN,
+                                          s + 2, rs))
+        dwd = jnp.transpose(dwd_oihw[:, 0], (1, 2, 0)).astype(jnp.float32)
+        dh = dh_v.reshape(dh_v.shape[0], HIDDEN, npw)[:, :, rs:rs + np_]
+        dh = dh.astype(jnp.float32)
+
+        xpf = xp.astype(jnp.float32)
+        a1 = jnp.einsum("ci,bip->bcp", w1f, xpf) + b1.astype(
+            jnp.float32).reshape(1, HIDDEN, 1)
+        da1 = dh * _dgelu(a1, cdtype) * maskf
+        db1 = jnp.sum(da1, axis=(0, 2))
+        dw1 = jnp.einsum("bcp,bip->ci", da1, xpf)
+        dx = jnp.einsum("ci,bcp->bip", w1f, da1)
+        return (dx.astype(xp.dtype), dw1.astype(w1.dtype),
+                db1.astype(b1.dtype), dwd.astype(wd.dtype),
+                dbd.astype(bd.dtype), dw2.astype(w2.dtype),
+                db2.astype(b2.dtype))
+
+    if bwd_impl == "pallas":
+        fused.defvjp(fwd_pallas, bwd_pallas)
+    else:
+        fused.defvjp(fwd_xla, bwd_xla)
     return fused
 
 
@@ -374,10 +509,24 @@ def fused_conv_residual(x, w1, b1, wd, bd, w2, b2, *, dtype,
     """x: (B,S,S,3). Weights spectral-normalized, kernel-native layouts:
     w1 (32,3) [= OIHW (32,3,1,1) squeezed], wd (3,3,32) [= (32,1,3,3)
     transposed], w2 (3,32), biases as given. Returns the residual term
-    (B,S,S,3) in `dtype`."""
+    (B,S,S,3) in `dtype`.
+
+    CALM_CONV_BWD selects the backward when this kernel is differentiated:
+    'pallas' (default — the recomputing flash-style backward kernel;
+    in-step 209.6 ms vs 218.7 for the hybrid) or 'xla' (kernel saves h/acc
+    residuals, gradient is conv-vjp + elementwise XLA passes over them).
+    NOTE production training uses neither: XLA's fused autodiff of the lax
+    chain beats both in-step (202.0 ms) — models/block.py dispatches the
+    fused kernel on the no-backward eval/serve path only."""
+    import os
+
+    bwd_impl = os.environ.get("CALM_CONV_BWD", "pallas")
+    if bwd_impl not in ("xla", "pallas"):
+        raise ValueError(f"CALM_CONV_BWD={bwd_impl!r}: expected "
+                         "'xla' or 'pallas'")
     b, s, _, _ = x.shape
     rs, np_, _ = _geom(s)
-    fused = _make_fused(jnp.dtype(dtype).name, (b, s), interpret)
+    fused = _make_fused(jnp.dtype(dtype).name, (b, s), interpret, bwd_impl)
     # Pad into the aligned-row layout; XLA fuses the pad/transpose with
     # whatever produced x.
     xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, rs - s - 1),

@@ -99,8 +99,24 @@ def conv_residual_apply(params: dict, state: dict, x_seq: jax.Array, *,
     b, s, _ = x_seq.shape
     img = x_seq.reshape(b, s, s, 3)  # NHWC directly
 
+    import os
+
+    # Dispatch (all measured in-step on v5e, b128 — NOTES.md round-3 conv
+    # log): the fused kernel's FORWARD beats the XLA chain ~3x (12 vs 33
+    # ms/step over the S>=128 stages), but every fused BACKWARD tried
+    # (recomputing pallas, saved-residual pallas, saved-residual XLA taps,
+    # saved-residual conv-vjp) loses to XLA's own fused NHWC autodiff of
+    # the lax chain (step 209.6-218.7 vs 202.0 ms). So: eval/serving
+    # (no backward) takes the pallas forward; training defaults to the lax
+    # chain. CALM_CONV_FUSED=1 forces the fused path for training A/Bs,
+    # =0 disables it everywhere.
+    fused_env = os.environ.get("CALM_CONV_FUSED", "")
+    if fused_env not in ("", "0", "1"):
+        raise ValueError(f"CALM_CONV_FUSED={fused_env!r}: expected "
+                         "'0' or '1'")
     use_fused = False
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu" and fused_env != "0"
+            and (not training or fused_env == "1")):
         from calm_vit_dte_tpu.kernels import conv_residual as kcr
 
         use_fused = kcr.supported(b, s)
@@ -125,8 +141,6 @@ def conv_residual_apply(params: dict, state: dict, x_seq: jax.Array, *,
             dtype=dtype)
         return (y.reshape(b, s, s * 3),
                 {"conv1": st1, "conv2": st2, "conv3": st3})
-
-    import os
 
     impl = os.environ.get("CALM_CONV_IMPL", "lax")
     if impl not in ("lax", "mix", "tap"):

@@ -104,9 +104,15 @@ def aggregate(trace_dir: str, steps: int, top: int) -> None:
         fw = row[ix["tf_op_name"]] or "?"
         parts = fw.split("/")
         key = "/".join(parts[-3:]) if len(parts) > 3 else fw
+        if "pallas_call" in key:
+            # Split the pallas bucket by kernel: the HLO program shape/name
+            # distinguishes conv (3xNP operands) from attention kernels.
+            hlo = row[ix["hlo_op_name"]] or ""
+            shp = row[ix.get("hlo_op_expression", ix.get("hlo_op_name"))]
+            key += f" [{hlo[:40]} | {str(shp)[:60]}]"
         byop[key] += row[ix["total_self_time"]] or 0
     for k, t in byop.most_common(top):
-        print(f"{t/div:8.2f} ms  {k[:110]}")
+        print(f"{t/div:8.2f} ms  {k[:160]}")
 
 
 def main() -> None:
