@@ -67,9 +67,20 @@ class Predictor:
     @classmethod
     def fresh(cls, config: str = "imagenet-cls-224", seed: int = 0):
         from calm_vit_dte_tpu.models.factory import create_vit
+        from calm_vit_dte_tpu.nn.spectral_norm import normalize_tree
 
         train_cfg = get_config(config)
         model_cfg, params, sn_state = create_vit(config, seed=seed)
+        # Converge the spectral-norm power iteration before freezing: a
+        # trained checkpoint carries converged u vectors, but at raw init
+        # the single-step sigma estimates are wild underestimates — the
+        # effectively-unnormalized weights blow up the 24-layer forward to
+        # NaN at flagship scale (measured: logits absmax NaN -> 0.118, KL
+        # 4.7e6 -> 0.35 after convergence). Serving a fresh model must
+        # behave like serving a trained one.
+        warm = jax.jit(lambda p, s: normalize_tree(p, s, training=True)[1])
+        for _ in range(30):
+            sn_state = warm(params, sn_state)
         return cls(model_cfg, params, sn_state, crop=train_cfg.crop)
 
     def classify(self, images_u8, top_k: int = 5):
