@@ -801,10 +801,24 @@ def _est_hires_b(bt: int, h: int, tk: int, s: int, d: int, dv: int) -> int:
 
 _HIRES_BUDGET = 96 * 1024 * 1024
 
+# On-chip sweep (v5e, fwd+bwd chained, r3): at S=1024/D=256 the analytic
+# VMEM estimates are too conservative — tq=tk=128 compiles and runs, and
+# the tuned tiles put the fused path AHEAD of chunked-XLA at every batch
+# (B=2: 4.50 vs 4.93 ms; B=8: 7.51 vs 9.73), where the round-2 tq=32/tk=64
+# default lost at small batch (7.6 vs 5.1 ms).
+_MEASURED_HIRES_TILES: dict[tuple, dict[int, tuple[int, int, int]]] = {
+    (12, 1024, 256): {2: (1, 64, 64), 8: (1, 128, 128)},
+}
+
 
 def _pick_hires_tiles(b: int, h: int, s: int, d: int,
                       dv: int, s2: int) -> tuple[int, int, int] | None:
     """(bt, tq, tk) for the two-pass hires backward, or None."""
+    by_b = _MEASURED_HIRES_TILES.get((h, s, d))
+    if by_b is not None and d == dv:
+        best = by_b.get(b) or by_b[max(by_b)]
+        if b % best[0] == 0:
+            return best
     for bt in (2, 1):
         if b % bt:
             continue
