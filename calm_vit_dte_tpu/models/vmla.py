@@ -151,6 +151,10 @@ def _sn_seq(p: dict, s: dict, x: jax.Array, *, training: bool, dtype):
     at batch 128, measured)."""
     from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
 
+    if "w_q" in p:  # int8-quantized serving path (quantize.py)
+        from calm_vit_dte_tpu.quantize import qdot_seq
+
+        return qdot_seq(x, p["w_q"], p["w_s"], dtype=dtype), s
     w_norm, st = spectral_normalize(p["w"], s, training=training)
     y = jnp.einsum("ns,bsd->bnd", w_norm.astype(dtype), x.astype(dtype),
                    preferred_element_type=dtype)
@@ -166,6 +170,29 @@ def _sn_multi(params: dict, state: dict, names: list[str], x: jax.Array,
     output axis. Halves-to-thirds the matmul launch count per VMLA layer.
     seq_axis=True contracts the sequence (-2) axis instead of features."""
     from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
+
+    if all("w_q" in params[n] for n in names):
+        # int8-quantized serving path (quantize.py): the merged matmul runs
+        # int8 on the MXU; per-row scales concatenate like the weights.
+        from calm_vit_dte_tpu.quantize import qdot, qdot_seq
+
+        wq = jnp.concatenate([params[n]["w_q"] for n in names], axis=0)
+        sc = jnp.concatenate([params[n]["w_s"] for n in names], axis=0)
+        sizes = [params[n]["w_q"].shape[0] for n in names]
+        for n in names:
+            new_state[n] = state[n]
+        if seq_axis:
+            y = qdot_seq(x, wq, sc, dtype=dtype)
+            axis = -2
+        else:
+            y = qdot(x, wq, sc, dtype=dtype)
+            axis = -1
+        bounds = []
+        acc = 0
+        for sz in sizes[:-1]:
+            acc += sz
+            bounds.append(acc)
+        return jnp.split(y, bounds, axis=axis)
 
     ws = []
     sizes = []

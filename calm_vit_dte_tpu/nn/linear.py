@@ -46,6 +46,11 @@ def sn_linear_init(key: jax.Array, in_dim: int, out_dim: int, *,
 def sn_linear_apply(params: dict, state: dict, x: jax.Array, *,
                     training: bool, dtype=None) -> tuple[jax.Array, dict]:
     dtype = dtype or x.dtype
+    if "w_q" in params:  # int8-quantized serving path (quantize.py)
+        from calm_vit_dte_tpu.quantize import qdot
+
+        return qdot(x, params["w_q"], params["w_s"], params.get("b"),
+                    dtype=dtype), state
     w_norm, new_state = spectral_normalize(params["w"], state,
                                            training=training)
     w = w_norm.astype(dtype)

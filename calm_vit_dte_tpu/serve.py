@@ -37,11 +37,23 @@ from calm_vit_dte_tpu.utils.configs import get_config
 
 class Predictor:
     def __init__(self, model_cfg, params, sn_state, crop: int = 224,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, quantize: str | None = None):
+        """quantize='int8' serves w8a8 dynamically-quantized weights: every
+        dense matmul outside the fused attention kernel runs int8 on the MXU
+        (2x the bf16 rate on v5e) with per-channel weight scales and
+        per-token activation scales (quantize.py)."""
         self.cfg = model_cfg
         # Freeze eval-mode normalized weights once; u/v never update when
         # serving (torch eval semantics).
         self.params, _ = normalize_tree(params, sn_state, training=False)
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode: {quantize!r} "
+                                 "(supported: 'int8')")
+            from calm_vit_dte_tpu.quantize import quantize_tree
+
+            self.params = quantize_tree(self.params, sn_state)
+        self.quantize = quantize
         self.sn_state = sn_state
         pre = make_eval_preprocess(crop)
 
@@ -56,16 +68,18 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, source: str, config: str = "imagenet-cls-224",
-                        **overrides):
+                        quantize: str | None = None, **overrides):
         """source: an Orbax checkpoint dir or a reference .pth file."""
         from calm_vit_dte_tpu.models.factory import create_vit
 
         train_cfg = get_config(config, **overrides)
         model_cfg, params, sn_state = create_vit(config, weights=source)
-        return cls(model_cfg, params, sn_state, crop=train_cfg.crop)
+        return cls(model_cfg, params, sn_state, crop=train_cfg.crop,
+                   quantize=quantize)
 
     @classmethod
-    def fresh(cls, config: str = "imagenet-cls-224", seed: int = 0):
+    def fresh(cls, config: str = "imagenet-cls-224", seed: int = 0,
+              quantize: str | None = None):
         from calm_vit_dte_tpu.models.factory import create_vit
         from calm_vit_dte_tpu.nn.spectral_norm import normalize_tree
 
@@ -81,7 +95,8 @@ class Predictor:
         warm = jax.jit(lambda p, s: normalize_tree(p, s, training=True)[1])
         for _ in range(30):
             sn_state = warm(params, sn_state)
-        return cls(model_cfg, params, sn_state, crop=train_cfg.crop)
+        return cls(model_cfg, params, sn_state, crop=train_cfg.crop,
+                   quantize=quantize)
 
     def classify(self, images_u8, top_k: int = 5):
         """images_u8: (B, H, W, 3) uint8. Returns (top-k labels (B,k),
@@ -112,12 +127,15 @@ def main() -> None:
     ap.add_argument("--config", default="imagenet-cls-224")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="serve w8a8 dynamic-int8 quantized weights")
     args = ap.parse_args()
     cfg = get_config(args.config)
     if args.checkpoint:
-        p = Predictor.from_checkpoint(args.checkpoint, config=args.config)
+        p = Predictor.from_checkpoint(args.checkpoint, config=args.config,
+                                      quantize=args.quantize)
     else:
-        p = Predictor.fresh(args.config)
+        p = Predictor.fresh(args.config, quantize=args.quantize)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (args.batch, cfg.image_size, cfg.image_size,
                                  3), dtype=np.uint8)
