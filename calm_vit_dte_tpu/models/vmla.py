@@ -152,8 +152,10 @@ def _sn_seq(p: dict, s: dict, x: jax.Array, *, training: bool, dtype):
     from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
 
     if "w_q" in p:  # int8-quantized serving path (quantize.py)
-        from calm_vit_dte_tpu.quantize import qdot_seq
+        from calm_vit_dte_tpu.quantize import qdot_seq, qdot_seq_wo
 
+        if "w_so" in p:  # w8a16 weight-only
+            return qdot_seq_wo(x, p["w_q"], p["w_so"], dtype=dtype), s
         return qdot_seq(x, p["w_q"], p["w_s"], dtype=dtype), s
     w_norm, st = spectral_normalize(p["w"], s, training=training)
     y = jnp.einsum("ns,bsd->bnd", w_norm.astype(dtype), x.astype(dtype),
@@ -173,19 +175,23 @@ def _sn_multi(params: dict, state: dict, names: list[str], x: jax.Array,
 
     if all("w_q" in params[n] for n in names):
         # int8-quantized serving path (quantize.py): the merged matmul runs
-        # int8 on the MXU; per-row scales concatenate like the weights.
-        from calm_vit_dte_tpu.quantize import qdot, qdot_seq
+        # int8 on the MXU (w8a8) or bf16 with int8 weight reads (w8a16);
+        # per-row scales concatenate like the weights.
+        from calm_vit_dte_tpu.quantize import (qdot, qdot_seq, qdot_seq_wo,
+                                               qdot_wo)
 
+        wo = "w_so" in params[names[0]]
+        skey = "w_so" if wo else "w_s"
         wq = jnp.concatenate([params[n]["w_q"] for n in names], axis=0)
-        sc = jnp.concatenate([params[n]["w_s"] for n in names], axis=0)
+        sc = jnp.concatenate([params[n][skey] for n in names], axis=0)
         sizes = [params[n]["w_q"].shape[0] for n in names]
         for n in names:
             new_state[n] = state[n]
         if seq_axis:
-            y = qdot_seq(x, wq, sc, dtype=dtype)
+            y = (qdot_seq_wo if wo else qdot_seq)(x, wq, sc, dtype=dtype)
             axis = -2
         else:
-            y = qdot(x, wq, sc, dtype=dtype)
+            y = (qdot_wo if wo else qdot)(x, wq, sc, dtype=dtype)
             axis = -1
         bounds = []
         acc = 0

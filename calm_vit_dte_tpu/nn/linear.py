@@ -47,8 +47,11 @@ def sn_linear_apply(params: dict, state: dict, x: jax.Array, *,
                     training: bool, dtype=None) -> tuple[jax.Array, dict]:
     dtype = dtype or x.dtype
     if "w_q" in params:  # int8-quantized serving path (quantize.py)
-        from calm_vit_dte_tpu.quantize import qdot
+        from calm_vit_dte_tpu.quantize import qdot, qdot_wo
 
+        if "w_so" in params:  # w8a16 weight-only
+            return qdot_wo(x, params["w_q"], params["w_so"],
+                           params.get("b"), dtype=dtype), state
         return qdot(x, params["w_q"], params["w_s"], params.get("b"),
                     dtype=dtype), state
     w_norm, new_state = spectral_normalize(params["w"], state,

@@ -1,20 +1,30 @@
-"""Post-training int8 quantization for the serving path (w8a8 dynamic).
+"""Post-training int8 quantization for the serving path.
 
 The reference has no serving or quantization story at all (SURVEY.md §1);
-this module adds one the TPU way: v5e's MXU runs int8 x int8 -> int32
-matmuls at 2x the bf16 rate (394 vs 197 peak TFLOP/s), so the serving
-Predictor can trade <=0.5% logit error for roughly half the matmul time and
-half the weight HBM footprint.
+this module adds one the TPU way, in two schemes:
 
-Scheme (standard w8a8 dynamic PTQ):
+w8a8 dynamic (``mode='w8a8'``, Predictor quantize='int8'):
   * weights: symmetric per-output-channel int8 — each row of the frozen,
     already spectral-normalized (out, in) matrix is scaled by
     absmax(row)/127 and rounded; stored as {'w_q': int8, 'w_s': f32 (out,)}
     replacing 'w'.
   * activations: symmetric per-token dynamic quantization at trace time —
     absmax over the contraction axis, no calibration data needed.
-  * the matmul runs int8 x int8 with preferred_element_type=int32 (MXU),
-    then one fused rescale (sx * w_s) back to the compute dtype.
+  * the matmul runs int8 x int8 with preferred_element_type=int32 (MXU,
+    2x the bf16 rate on v5e), then one fused rescale (sx * w_s) back to
+    the compute dtype.
+
+w8a16 weight-only (``mode='w8a16'``, Predictor quantize='int8-wo'):
+  * same per-output-channel int8 weights, stored as {'w_q', 'w_so'} —
+    the distinct scale key statically selects the scheme at trace time.
+  * activations stay bf16; the weight dequant is an exact int8->bf16
+    convert (|q| <= 127 is exactly representable) feeding a bf16 MXU
+    matmul, with the per-channel scale applied to the fp32 accumulator.
+  * rationale: on memory-bound serving shapes (hires 935M params at
+    small batch) the w8a8 per-token absmax/round/rescale is pure VPU
+    overhead added to every matmul and measured SLOWER than bf16
+    (NOTES.md); weight-only keeps the 2x weight-HBM win and drops that
+    overhead, and is strictly more accurate (no activation rounding).
 
 What gets quantized: every 2-D spectral-normed linear weight EXCEPT the
 attention-mask MLP (its weights are operands of the fused Pallas attention
@@ -23,7 +33,7 @@ LayerScale, RoPE tables, biases and conv taps stay float — they are
 vector-unit work, not MXU work.
 
 Training is never quantized: quantize_tree applies to the frozen eval-mode
-weights only (serve.Predictor(..., quantize='int8')).
+weights only (serve.Predictor(..., quantize=...)).
 """
 
 from __future__ import annotations
@@ -31,9 +41,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Param-tree keys a quantized node carries instead of 'w'.
+# Param-tree keys a quantized node carries instead of 'w'. The scale key
+# doubles as the scheme selector (dict keys are static pytree structure):
+# SKEY -> w8a8 dynamic, WOKEY -> w8a16 weight-only.
 QKEY = "w_q"
 SKEY = "w_s"
+WOKEY = "w_so"
 
 # Node names whose weights must stay float (consumed inside Pallas kernels).
 _SKIP = ("linear_mask",)
@@ -89,13 +102,43 @@ def qdot_seq(x: jax.Array, wq: jax.Array, ws: jax.Array, *,
     return y
 
 
-def quantize_tree(params, sn_state):
+def qdot_wo(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None, *,
+            dtype) -> jax.Array:
+    """Weight-only (w8a16) y = x @ dequant(wq).T (+ b): bf16 activations
+    against an exact int8->dtype weight convert (values <= 127 are exactly
+    representable in bf16), per-channel scale applied to the fp32
+    accumulator. Weight HBM traffic is int8 — the convert fuses into the
+    matmul's operand read."""
+    y = jax.lax.dot_general(
+        x.astype(dtype), wq.astype(dtype),
+        (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = (y * ws).astype(dtype)
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def qdot_seq_wo(x: jax.Array, wq: jax.Array, ws: jax.Array, *,
+                dtype) -> jax.Array:
+    """Weight-only sequence-axis contraction einsum('ns,bsd->bnd', w, x).
+    x: (b, s, d); wq: (n, s) int8; ws: (n,) f32."""
+    y = jnp.einsum("ns,bsd->bnd", wq.astype(dtype), x.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    return (y * ws[None, :, None]).astype(dtype)
+
+
+def quantize_tree(params, sn_state, mode: str = "w8a8"):
     """Quantize every eligible spectral-normed 2-D linear weight in a
     NORMALIZED param tree (run serve-style normalize_tree(training=False)
     first). Returns a new params tree where each eligible node's 'w' is
-    replaced by {'w_q', 'w_s'} (plus its existing bias). The sn_state tree
+    replaced by {'w_q', 'w_s'} (mode='w8a8') or {'w_q', 'w_so'}
+    (mode='w8a16' weight-only), plus its existing bias. The sn_state tree
     locates the linears, exactly as nn.spectral_norm.normalize_tree walks it.
     """
+    if mode not in ("w8a8", "w8a16"):
+        raise ValueError(f"unknown quantize_tree mode: {mode!r}")
+    scale_key = SKEY if mode == "w8a8" else WOKEY
 
     def walk(p, s, path):
         if isinstance(s, dict) and "u" in s and "v" in s:
@@ -103,7 +146,7 @@ def quantize_tree(params, sn_state):
             if w.ndim != 2 or any(k in path for k in _SKIP):
                 return p
             new_p = {k: v for k, v in p.items() if k != "w"}
-            new_p[QKEY], new_p[SKEY] = quantize_weight(w)
+            new_p[QKEY], new_p[scale_key] = quantize_weight(w)
             return new_p
         new_p = dict(p)
         for key, sub in s.items():

@@ -41,18 +41,23 @@ class Predictor:
         """quantize='int8' serves w8a8 dynamically-quantized weights: every
         dense matmul outside the fused attention kernel runs int8 on the MXU
         (2x the bf16 rate on v5e) with per-channel weight scales and
-        per-token activation scales (quantize.py)."""
+        per-token activation scales. quantize='int8-wo' is w8a16
+        weight-only: int8 weight storage/HBM-reads, bf16 activations — no
+        per-token quant overhead, strictly more accurate; the right scheme
+        for memory-bound shapes (hires at small batch). See quantize.py."""
         self.cfg = model_cfg
         # Freeze eval-mode normalized weights once; u/v never update when
         # serving (torch eval semantics).
         self.params, _ = normalize_tree(params, sn_state, training=False)
         if quantize is not None:
-            if quantize != "int8":
+            modes = {"int8": "w8a8", "int8-wo": "w8a16"}
+            if quantize not in modes:
                 raise ValueError(f"unknown quantize mode: {quantize!r} "
-                                 "(supported: 'int8')")
+                                 f"(supported: {sorted(modes)})")
             from calm_vit_dte_tpu.quantize import quantize_tree
 
-            self.params = quantize_tree(self.params, sn_state)
+            self.params = quantize_tree(self.params, sn_state,
+                                        mode=modes[quantize])
         self.quantize = quantize
         self.sn_state = sn_state
         pre = make_eval_preprocess(crop)
@@ -127,8 +132,10 @@ def main() -> None:
     ap.add_argument("--config", default="imagenet-cls-224")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--quantize", default=None, choices=["int8"],
-                    help="serve w8a8 dynamic-int8 quantized weights")
+    ap.add_argument("--quantize", default=None,
+                    choices=["int8", "int8-wo"],
+                    help="serve int8-quantized weights: 'int8' = w8a8 "
+                         "dynamic, 'int8-wo' = w8a16 weight-only")
     args = ap.parse_args()
     cfg = get_config(args.config)
     if args.checkpoint:

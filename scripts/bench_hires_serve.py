@@ -47,11 +47,11 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--modes", default="bf16,int8")
+    ap.add_argument("--modes", default="bf16,int8,int8-wo")
     args = ap.parse_args()
 
     for mode in args.modes.split(","):
-        q = "int8" if mode == "int8" else None
+        q = None if mode == "bf16" else mode
         try:
             p = Predictor.fresh("hires-cls-1024", seed=0, quantize=q)
             ips, p50, ok = measure(p, args.batch)

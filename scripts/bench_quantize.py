@@ -50,10 +50,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="imagenet-cls-224")
     ap.add_argument("--batches", default="8,32,128")
+    ap.add_argument("--quantize", default="int8",
+                    choices=["int8", "int8-wo"],
+                    help="quantized mode to A/B against bf16")
     args = ap.parse_args()
 
     p_f = Predictor.fresh(args.config, seed=0)
-    p_q = Predictor.fresh(args.config, seed=0, quantize="int8")
+    p_q = Predictor.fresh(args.config, seed=0, quantize=args.quantize)
     for b in [int(x) for x in args.batches.split(",")]:
         ips_f, p50_f, out_f = measure(p_f, b)
         ips_q, p50_q, out_q = measure(p_q, b)

@@ -12,8 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from calm_vit_dte_tpu.quantize import (qdot, qdot_seq, quantize_tree,
-                                       quantize_weight)
+from calm_vit_dte_tpu.quantize import (qdot, qdot_seq, qdot_seq_wo, qdot_wo,
+                                       quantize_tree, quantize_weight)
 
 
 def test_quantize_weight_roundtrip():
@@ -49,6 +49,57 @@ def test_qdot_seq_tracks_float_oracle():
     ref = jnp.einsum("ns,bsd->bnd", w, x)
     rel = jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref)
     assert rel < 0.02, rel
+
+
+def test_qdot_wo_tracks_float_oracle_tighter_than_w8a8():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 32, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(48, 96)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+    wq, ws = quantize_weight(w)
+    ref = x @ w.T + b
+    rel_wo = jnp.linalg.norm(qdot_wo(x, wq, ws, b, dtype=jnp.float32) - ref)
+    rel_a8 = jnp.linalg.norm(qdot(x, wq, ws, b, dtype=jnp.float32) - ref)
+    nrm = jnp.linalg.norm(ref)
+    assert rel_wo / nrm < 0.01, rel_wo / nrm
+    # Weight-only skips activation rounding: strictly more accurate.
+    assert rel_wo <= rel_a8, (rel_wo, rel_a8)
+
+
+def test_qdot_seq_wo_tracks_float_oracle():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(4, 32, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(24, 32)).astype(np.float32))
+    wq, ws = quantize_weight(w)
+    y = qdot_seq_wo(x, wq, ws, dtype=jnp.float32)
+    ref = jnp.einsum("ns,bsd->bnd", w, x)
+    rel = jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref)
+    assert rel < 0.01, rel
+
+
+def test_quantize_tree_weight_only_mode():
+    from calm_vit_dte_tpu.models.factory import create_vit
+    from calm_vit_dte_tpu.nn.spectral_norm import normalize_tree
+
+    _, params, sn_state = create_vit("tiny-cls", seed=0)
+    norm, _ = normalize_tree(params, sn_state, training=False)
+    qtree = quantize_tree(norm, sn_state, mode="w8a16")
+
+    n_quant = [0]
+
+    def walk(p):
+        if isinstance(p, dict):
+            if "w_q" in p:
+                n_quant[0] += 1
+                assert "w_so" in p and "w_s" not in p
+            for v in p.values():
+                walk(v)
+
+    walk(qtree)
+    assert n_quant[0] > 10
+
+    with pytest.raises(ValueError, match="unknown quantize_tree mode"):
+        quantize_tree(norm, sn_state, mode="int4")
 
 
 def test_quantize_tree_skips_mask_mlp_and_vectors():
@@ -88,13 +139,14 @@ def test_quantize_tree_skips_mask_mlp_and_vectors():
         assert "w" in m["fc1"] and "w_q" not in m["fc1"]
 
 
+@pytest.mark.parametrize("quantize", ["int8", "int8-wo"])
 @pytest.mark.parametrize("config,shape", [("tiny-cls", (4, 56, 56, 3)),
                                           ("tiny-reg", (2, 56, 56, 3))])
-def test_quantized_predictor_matches_bf16(config, shape):
+def test_quantized_predictor_matches_bf16(config, shape, quantize):
     from calm_vit_dte_tpu.serve import Predictor
 
     p_f = Predictor.fresh(config, seed=0)
-    p_q = Predictor.fresh(config, seed=0, quantize="int8")
+    p_q = Predictor.fresh(config, seed=0, quantize=quantize)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, shape, dtype=np.uint8)
     out_f, _ = p_f._predict(p_f.params, p_f.sn_state, jnp.asarray(imgs))
