@@ -27,3 +27,25 @@ def test_reconstruct_tiny():
     out = p.reconstruct(imgs)
     assert out.shape == (2, 48, 48, 3)
     assert (out >= 0).all() and (out <= 1).all()
+
+
+def test_serving_artifact_roundtrip(tmp_path):
+    """save()/load() restores the frozen quantized tree bit-exactly: same
+    top-k and identical probs, no re-normalization or re-quantization."""
+    import jax.numpy as jnp
+
+    p = Predictor.fresh("tiny-cls", seed=0, quantize="int8-wo")
+    p.save(str(tmp_path / "artifact"))
+    p2 = Predictor.load(str(tmp_path / "artifact"), config="tiny-cls")
+    assert p2.quantize == "int8-wo" and p2.crop == p.crop
+
+    # The restored tree kept the quantized structure (int8 weights present).
+    import jax
+
+    dtypes = {str(jnp.asarray(x).dtype) for x in jax.tree.leaves(p2.params)}
+    assert "int8" in dtypes, dtypes
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (4, 56, 56, 3), dtype=np.uint8)
+    out1, _ = p._predict(p.params, p.sn_state, jnp.asarray(imgs))
+    out2, _ = p2._predict(p2.params, p2.sn_state, jnp.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
