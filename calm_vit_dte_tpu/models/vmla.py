@@ -181,6 +181,11 @@ def _sn_multi(params: dict, state: dict, names: list[str], x: jax.Array,
                                                qdot_wo)
 
         wo = "w_so" in params[names[0]]
+        if any(("w_so" in params[n]) != wo for n in names):
+            raise ValueError(
+                "merged projections must share one quantization scheme: "
+                + ", ".join(f"{n}={'w8a16' if 'w_so' in params[n] else 'w8a8'}"
+                            for n in names))
         skey = "w_so" if wo else "w_s"
         wq = jnp.concatenate([params[n]["w_q"] for n in names], axis=0)
         sc = jnp.concatenate([params[n][skey] for n in names], axis=0)

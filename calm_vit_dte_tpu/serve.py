@@ -35,10 +35,31 @@ from calm_vit_dte_tpu.nn.spectral_norm import (
 from calm_vit_dte_tpu.utils.configs import get_config
 
 
+_QUANTIZE_MODES = (None, "int8", "int8-wo")
+
+
+def _tree_fingerprint(params) -> dict:
+    """Architecture fingerprint of a param tree: total element count plus a
+    stable hash over the sorted (path, shape, dtype) triples. Written to
+    serving.json at save() and checked at load() so a mismatched or
+    corrupted artifact fails with a clear message instead of a cryptic
+    pytree/shape error inside the first jitted predict."""
+    import hashlib
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    n = 0
+    h = hashlib.sha256()
+    for path, leaf in sorted(leaves, key=lambda kv: str(kv[0])):
+        n += int(np.prod(leaf.shape)) if leaf.ndim else 1
+        h.update(f"{jax.tree_util.keystr(path)}:{tuple(leaf.shape)}:"
+                 f"{jnp.asarray(leaf).dtype.name};".encode())
+    return {"n_params": n, "tree_sha256": h.hexdigest()[:16]}
+
+
 class Predictor:
     def __init__(self, model_cfg, params, sn_state, crop: int = 224,
                  dtype=jnp.bfloat16, quantize: str | None = None,
-                 _prefrozen: bool = False):
+                 config_name: str | None = None, _prefrozen: bool = False):
         """quantize='int8' serves w8a8 dynamically-quantized weights: every
         dense matmul outside the fused attention kernel runs int8 on the MXU
         (2x the bf16 rate on v5e) with per-channel weight scales and
@@ -48,6 +69,8 @@ class Predictor:
         for memory-bound shapes (hires at small batch). See quantize.py."""
         self.cfg = model_cfg
         self.crop = crop
+        self.dtype = jnp.dtype(dtype)
+        self.config_name = config_name
         if _prefrozen:
             # Restored serving artifact: params are already eval-normalized
             # (and quantized, if quantize is set) — use as-is.
@@ -88,7 +111,7 @@ class Predictor:
         train_cfg = get_config(config, **overrides)
         model_cfg, params, sn_state = create_vit(config, weights=source)
         return cls(model_cfg, params, sn_state, crop=train_cfg.crop,
-                   quantize=quantize)
+                   quantize=quantize, config_name=config)
 
     @classmethod
     def fresh(cls, config: str = "imagenet-cls-224", seed: int = 0,
@@ -109,7 +132,7 @@ class Predictor:
         for _ in range(30):
             sn_state = warm(params, sn_state)
         return cls(model_cfg, params, sn_state, crop=train_cfg.crop,
-                   quantize=quantize)
+                   quantize=quantize, config_name=config)
 
     def save(self, path: str) -> None:
         """Persist the frozen serving artifact: the eval-normalized (and,
@@ -129,14 +152,19 @@ class Predictor:
             ckptr.save(os.path.join(path, "tree"),
                        {"params": self.params, "sn_state": self.sn_state},
                        force=True)
+        meta = {"quantize": self.quantize, "crop": self.crop,
+                "config": self.config_name, "dtype": self.dtype.name}
+        meta.update(_tree_fingerprint(self.params))
         with open(os.path.join(path, "serving.json"), "w") as f:
-            json.dump({"quantize": self.quantize, "crop": self.crop}, f)
+            json.dump(meta, f)
 
     @classmethod
-    def load(cls, path: str, config: str = "imagenet-cls-224"):
-        """Restore a serving artifact written by save(). `config` names the
-        model architecture (as in from_checkpoint); weights, quantization
-        and crop come from the artifact."""
+    def load(cls, path: str, config: str | None = None):
+        """Restore a serving artifact written by save(). The architecture
+        (config name), compute dtype, quantization and crop all come from
+        the artifact's serving.json; pass `config` only to assert which
+        architecture you expect (a mismatch fails loudly here rather than
+        as a shape error inside the first jitted predict)."""
         import json
         import os
 
@@ -145,12 +173,37 @@ class Predictor:
         path = os.path.abspath(path)
         with open(os.path.join(path, "serving.json")) as f:
             meta = json.load(f)
+        saved_config = meta.get("config")
+        if config is not None and saved_config is not None \
+                and config != saved_config:
+            raise ValueError(
+                f"serving artifact at {path} was saved from config "
+                f"{saved_config!r} but load() was asked for {config!r}")
+        config = saved_config or config or "imagenet-cls-224"
+        if meta.get("quantize") not in _QUANTIZE_MODES:
+            raise ValueError(f"serving.json at {path} has invalid quantize "
+                             f"mode {meta.get('quantize')!r} "
+                             f"(expected one of {_QUANTIZE_MODES})")
+        if not (isinstance(meta.get("crop"), int) and meta["crop"] > 0):
+            raise ValueError(f"serving.json at {path} has invalid crop "
+                             f"{meta.get('crop')!r} (expected positive int)")
         with ocp.StandardCheckpointer() as ckptr:
             tree = ckptr.restore(os.path.join(path, "tree"))
+        if "n_params" in meta:
+            fp = _tree_fingerprint(tree["params"])
+            if fp != {k: meta[k] for k in ("n_params", "tree_sha256")}:
+                raise ValueError(
+                    f"serving artifact at {path} does not match its "
+                    f"serving.json fingerprint: restored tree has "
+                    f"{fp['n_params']} params / hash {fp['tree_sha256']}, "
+                    f"sidecar says {meta['n_params']} / "
+                    f"{meta['tree_sha256']} — artifact corrupted or "
+                    f"hand-edited")
         model_cfg = get_config(config).model
         return cls(model_cfg, tree["params"], tree["sn_state"],
                    crop=meta["crop"], quantize=meta["quantize"],
-                   _prefrozen=True)
+                   dtype=jnp.dtype(meta.get("dtype", "bfloat16")),
+                   config_name=config, _prefrozen=True)
 
     def classify(self, images_u8, top_k: int = 5):
         """images_u8: (B, H, W, 3) uint8. Returns (top-k labels (B,k),
