@@ -32,7 +32,11 @@ from calm_vit_dte_tpu.utils.logging import is_chief
 
 
 def evaluate(cfg: TrainConfig, max_batches: int | None = None,
-             mesh=None) -> float:
+             mesh=None, quantize: str | None = None) -> float:
+    """Top-1 accuracy over the val split. quantize='int8'/'int8-wo' runs
+    the whole evaluation through the post-training-quantized serving tree
+    (quantize.py), pinning int8 top-1 end-to-end — the number serving users
+    actually get, not a per-op error bound."""
     maybe_init_distributed()
     mesh = mesh if mesh is not None else make_mesh()
 
@@ -52,16 +56,29 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
 
     pre = make_eval_preprocess(cfg.crop)
 
-    def eval_step(params, sn_state, batch):
-        from calm_vit_dte_tpu.nn.spectral_norm import (
-            normalize_tree,
-            prenormalized_scope,
-        )
+    from calm_vit_dte_tpu.nn.spectral_norm import (
+        normalize_tree,
+        prenormalized_scope,
+    )
 
+    # Freeze eval-mode normalized weights once (numerically identical to
+    # normalizing per batch — training=False is deterministic — and what the
+    # serving path does); optionally quantize the frozen tree.
+    frozen = jax.jit(lambda p, s: normalize_tree(p, s, training=False)[0])(
+        state.params, state.sn_state)
+    if quantize is not None:
+        modes = {"int8": "w8a8", "int8-wo": "w8a16"}
+        if quantize not in modes:
+            raise ValueError(f"unknown quantize mode: {quantize!r} "
+                             f"(supported: {sorted(modes)})")
+        from calm_vit_dte_tpu.quantize import quantize_tree
+
+        frozen = quantize_tree(frozen, state.sn_state, mode=modes[quantize])
+
+    def eval_step(params, sn_state, batch):
         b = pre(batch)
-        norm_params, _ = normalize_tree(params, sn_state, training=False)
         with prenormalized_scope():
-            logits, _, _ = vit_apply(cfg.model, norm_params, sn_state,
+            logits, _, _ = vit_apply(cfg.model, params, sn_state,
                                      b["image"], training=False,
                                      dtype=jnp.bfloat16)
         pred = jnp.argmax(logits, axis=-1)
@@ -83,7 +100,7 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
     for i, host_batch in enumerate(loader):
         batch = {k: jax.make_array_from_process_local_data(sh, v)
                  for k, v in host_batch.items()}
-        c, n = jax.device_get(jit_eval(state.params, state.sn_state, batch))
+        c, n = jax.device_get(jit_eval(frozen, state.sn_state, batch))
         correct += int(c)
         total += int(n)
         if is_chief() and i % 10 == 0:
@@ -104,11 +121,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="imagenet-cls-224")
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--quantize", default=None, choices=["int8", "int8-wo"],
+                    help="evaluate through the int8 PTQ serving tree")
     ap.add_argument("overrides", nargs="*",
                     help="TrainConfig field overrides, key=value")
     args = ap.parse_args()
     evaluate(get_config(args.config, **_parse_overrides(args.overrides)),
-             max_batches=args.max_batches)
+             max_batches=args.max_batches, quantize=args.quantize)
 
 
 if __name__ == "__main__":

