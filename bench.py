@@ -125,8 +125,11 @@ def kernel_regression_check() -> None:
 
 
 def build_step(batch_size: int, remat: bool = True,
-               microbatches: int = 1):
-    from calm_vit_dte_tpu.data.pipeline import make_cls_preprocess
+               microbatches: int = 1, config: str = "imagenet-cls-224"):
+    from calm_vit_dte_tpu.data.pipeline import (
+        make_cls_preprocess,
+        make_reg_preprocess,
+    )
     from calm_vit_dte_tpu.models.vit import vit_init
     from calm_vit_dte_tpu.parallel.mesh import (
         batch_sharding, make_mesh, replicated_sharding,
@@ -136,7 +139,7 @@ def build_step(batch_size: int, remat: bool = True,
     from calm_vit_dte_tpu.train.step import make_train_step
     from calm_vit_dte_tpu.utils.configs import get_config
 
-    cfg = get_config("imagenet-cls-224")
+    cfg = get_config(config)
     mesh = make_mesh()
     params, sn_state = vit_init(cfg.model, jax.random.PRNGKey(0))
     tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.beta1, cfg.beta2,
@@ -144,15 +147,18 @@ def build_step(batch_size: int, remat: bool = True,
     state = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    step_fn = make_train_step(cfg.model, tx, "cls", dtype=jnp.bfloat16,
-                              remat=remat,
-                              preprocess=make_cls_preprocess(1000, 224),
+    pre = (make_cls_preprocess(cfg.model.out_features, cfg.crop)
+           if cfg.task == "cls" else make_reg_preprocess(cfg.crop))
+    step_fn = make_train_step(cfg.model, tx, cfg.task, dtype=jnp.bfloat16,
+                              remat=remat, preprocess=pre,
                               microbatches=microbatches)
     jit_step = jax.jit(step_fn, donate_argnums=0)
 
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 256, (batch_size, 256, 256, 3), dtype=np.uint8)
-    labels = rng.integers(0, 1000, (batch_size,), dtype=np.int32)
+    imgs = rng.integers(0, 256, (batch_size, cfg.image_size, cfg.image_size,
+                                 3), dtype=np.uint8)
+    labels = rng.integers(0, max(cfg.model.out_features, 2), (batch_size,),
+                          dtype=np.int32)
     sh = batch_sharding(mesh)
     batch = {"image": jax.device_put(imgs, sh),
              "label": jax.device_put(labels, sh)}
@@ -174,8 +180,10 @@ def step_flops(jit_step, state, batch) -> float | None:
 
 
 def measure(batch_size: int, warmup: int = 3, iters: int = 20,
-            remat: bool = True, microbatches: int = 1):
-    state, batch, jit_step = build_step(batch_size, remat, microbatches)
+            remat: bool = True, microbatches: int = 1,
+            config: str = "imagenet-cls-224"):
+    state, batch, jit_step = build_step(batch_size, remat, microbatches,
+                                        config=config)
     state, metrics = jit_step(state, batch)  # compile + first step
     # The executable now exists, so lower+compile for cost analysis hits the
     # cache instead of recompiling.
@@ -219,6 +227,36 @@ def measure(batch_size: int, warmup: int = 3, iters: int = 20,
         flops *= microbatches
         mfu = flops / p50 / n_chips / (chip_peak_tflops() * 1e12)
     return batch_size / p50 / n_chips, p50, losses[-1], mfu
+
+
+def measure_reconstruct(batch_size: int, warmup: int = 3, iters: int = 20):
+    """Reg serving throughput: the Predictor.reconstruct() forward (the
+    reference's sample-generation path, CALM_ViT_V2.py:113-118) on the
+    imagenet-reg-224 model, jitted predict timed like measure_eval."""
+    from calm_vit_dte_tpu.serve import Predictor
+
+    p = Predictor.fresh("imagenet-reg-224")
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (batch_size, 256, 256, 3),
+                                    dtype=np.uint8))
+    out, _ = p._predict(p.params, p.sn_state, imgs)  # compile
+    jax.block_until_ready(out)
+    for _ in range(max(warmup - 1, 0)):
+        out, _ = p._predict(p.params, p.sn_state, imgs)
+    jax.block_until_ready(out)
+    chain = 5
+    n_chains = max(1, iters // chain)
+    times = []
+    for _ in range(n_chains):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out, _ = p._predict(p.params, p.sn_state, imgs)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / chain)
+    p50 = float(np.percentile(times, 50))
+    if not np.all(np.isfinite(np.asarray(out))):
+        raise RuntimeError("non-finite reconstruct output during bench")
+    return batch_size / p50 / jax.device_count(), p50
 
 
 def measure_eval(batch_size: int, warmup: int = 3, iters: int = 20):
@@ -350,6 +388,36 @@ def main() -> None:
         except Exception as e:
             print(f"eval bench bs={ebs} failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr, flush=True)
+    # Second workload (VERDICT r3 item 5): the reg/reconstruction trainer
+    # (Huber + 0.1*KL, reference distributed_trainer_reg.py) and its
+    # serving path, in the official artifact instead of only NOTES.md.
+    # BENCH_SKIP_REG=1 skips it (halves bench wall time when iterating).
+    if os.environ.get("BENCH_SKIP_REG") != "1":
+        for rbs, rmicro in ((512, 4), (128, 1), (64, 1)):
+            try:
+                rips, rp50, rloss, rmfu = measure(rbs, remat=False,
+                                                  microbatches=rmicro,
+                                                  config="imagenet-reg-224")
+                out["reg_train_images_per_sec_per_chip"] = round(rips, 2)
+                out["reg_p50_step_time_s"] = round(rp50, 4)
+                out["reg_batch_size"] = rbs
+                if rmfu is not None:
+                    out["reg_mfu"] = round(rmfu, 4)
+                break
+            except Exception as e:
+                print(f"reg bench bs={rbs} failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr, flush=True)
+        for rbs in (128, 64):
+            try:
+                rips, rp50 = measure_reconstruct(rbs)
+                out["reconstruct_images_per_sec_per_chip"] = round(rips, 2)
+                out["reconstruct_p50_step_time_s"] = round(rp50, 4)
+                out["reconstruct_batch_size"] = rbs
+                break
+            except Exception as e:
+                print(f"reconstruct bench bs={rbs} failed: "
+                      f"{type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 
