@@ -76,10 +76,43 @@ _MEASURED_TILES: dict[tuple, tuple[int, int]] = {
     (128, 12, 128, 32): (4, 128),   # 8.92 ms vs 9.20
 }
 
+# Swept tile cache: scripts/sweep_tiles.py measures candidate tilings on
+# chip for any config's attention shapes and records the winners in
+# tile_cache.json (committed), so new shapes self-tune instead of falling
+# back to the conservative 3x-slack analytic estimator. _TILE_OVERRIDE is
+# the sweep's injection hook (the sweep clears the _make_* lru caches
+# between candidates).
+_TILE_CACHE_PATH = None  # resolved lazily (pathlib import kept local)
+_TILE_OVERRIDE: dict[tuple, tuple] = {}
+_tile_cache_data: dict | None = None
+
+
+def _tuned_tiles(kind: str, key: tuple) -> tuple | None:
+    """Sweep override, then the committed swept cache. kind in
+    {'plain', 'rope', 'fwd', 'hires'}."""
+    ov = _TILE_OVERRIDE.get((kind,) + key)
+    if ov is not None:
+        return tuple(ov)
+    global _tile_cache_data
+    if _tile_cache_data is None:
+        import json
+        import pathlib
+
+        path = pathlib.Path(__file__).parent / "tile_cache.json"
+        try:
+            _tile_cache_data = json.loads(path.read_text())
+        except Exception:
+            _tile_cache_data = {}
+    ent = _tile_cache_data.get(f"{kind}|" + ",".join(map(str, key)))
+    return tuple(ent["tile"]) if ent else None
+
 
 def _pick_tiles(b: int, h: int, s: int, d: int,
                 dv: int) -> tuple[int, int] | None:
     """Largest (batch-tile, query-tile) whose backward fits VMEM."""
+    tuned = _tuned_tiles("plain", (b, h, s, d, dv))
+    if tuned is not None:
+        return tuned
     if d == dv and (b, h, s, d) in _MEASURED_TILES:
         return _MEASURED_TILES[(b, h, s, d)]
     best = None
@@ -107,6 +140,9 @@ def _pick_tiles_rope(b: int, h: int, s: int, dc: int, dr: int,
     cos/sin table-grad blocks — so a shape can fit the plain kernel yet
     blow VMEM here. Same 3x Mosaic-overhead multiplier as `_est_bytes`."""
     d = dc + dr
+    tuned = _tuned_tiles("rope", (b, h, s, dc, dr, dv))
+    if tuned is not None:
+        return tuned
     if d == dv and (b, h, s, d) in _MEASURED_TILES:
         # Measured winners were swept on the rope path itself (the
         # production flagship runs through fused_rope_attention).
@@ -129,6 +165,9 @@ def _pick_tiles_fwd(b: int, h: int, s: int, d: int,
                     dv: int) -> tuple[int, int] | None:
     """Forward-only tiling: no dk/dv accumulators, ~3 live fp32 score-tile
     tensors. Covers the hires (S=1024, D=256) stages the backward cannot."""
+    tuned = _tuned_tiles("fwd", (b, h, s, d, dv))
+    if tuned is not None:
+        return tuned
     for bt in (8, 4, 2, 1):
         if b % bt:
             continue
@@ -814,6 +853,9 @@ _MEASURED_HIRES_TILES: dict[tuple, dict[int, tuple[int, int, int]]] = {
 def _pick_hires_tiles(b: int, h: int, s: int, d: int,
                       dv: int, s2: int) -> tuple[int, int, int] | None:
     """(bt, tq, tk) for the two-pass hires backward, or None."""
+    tuned = _tuned_tiles("hires", (b, h, s, d, dv, s2))
+    if tuned is not None:
+        return tuned
     by_b = _MEASURED_HIRES_TILES.get((h, s, d))
     if by_b is not None and d == dv:
         best = by_b.get(b) or by_b[max(by_b)]

@@ -77,7 +77,8 @@ def capture(config: str, batch_size: int, steps: int, task: str,
     jax.profiler.stop_trace()
 
 
-def aggregate(trace_dir: str, steps: int, top: int) -> None:
+def aggregate(trace_dir: str, steps: int, top: int,
+              args_split: tuple = ()) -> None:
     from xprof.convert import raw_to_tool_data as r
 
     paths = glob.glob(os.path.join(trace_dir,
@@ -104,12 +105,14 @@ def aggregate(trace_dir: str, steps: int, top: int) -> None:
         fw = row[ix["tf_op_name"]] or "?"
         parts = fw.split("/")
         key = "/".join(parts[-3:]) if len(parts) > 3 else fw
-        if "pallas_call" in key:
-            # Split the pallas bucket by kernel: the HLO program shape/name
-            # distinguishes conv (3xNP operands) from attention kernels.
+        if "pallas_call" in key or (args_split and any(
+                t in key for t in args_split)):
+            # Split the bucket by HLO op: the program shape/name
+            # distinguishes conv (3xNP operands) from attention kernels,
+            # and (under --split) individual dot/transpose shapes.
             hlo = row[ix["hlo_op_name"]] or ""
             shp = row[ix.get("hlo_op_expression", ix.get("hlo_op_name"))]
-            key += f" [{hlo[:40]} | {str(shp)[:60]}]"
+            key += f" [{hlo[:40]} | {str(shp)[:80]}]"
         byop[key] += row[ix["total_self_time"]] or 0
     for k, t in byop.most_common(top):
         print(f"{t/div:8.2f} ms  {k[:160]}")
@@ -123,10 +126,13 @@ def main() -> None:
     ap.add_argument("--task", default="cls", choices=["cls", "reg"])
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--split", default="",
+                    help="comma-sep op substrings to de-aggregate by HLO shape (e.g. dot_general,transpose)")
     args = ap.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="calm_trace_")
     capture(args.config, args.batch, args.steps, args.task, trace_dir)
-    aggregate(trace_dir, args.steps, args.top)
+    aggregate(trace_dir, args.steps, args.top,
+              tuple(s for s in args.split.split(",") if s))
 
 
 if __name__ == "__main__":

@@ -256,7 +256,14 @@ def _run_reg(args) -> None:
     top = (size - crop) // 2
     grid(probe[:, top:top + crop, top:top + crop].astype(np.float32) / 255.0,
          EVIDENCE / "reg_inputs.png")
-    before = np.asarray(reconstruct(state.params, state.sn_state,
+    # The step-0 probe needs a CONVERGED power iteration: raw-init u/v
+    # under-estimate sigma and the unnormalized 24-layer eval forward goes
+    # NaN at flagship scale (same issue Predictor.fresh fixes; NOTES.md r3).
+    warm = jax.jit(lambda p, s: normalize_tree(p, s, training=True)[1])
+    probe_sn = state.sn_state
+    for _ in range(30):
+        probe_sn = warm(state.params, probe_sn)
+    before = np.asarray(reconstruct(state.params, probe_sn,
                                     jnp.asarray(probe)))
     grid(before, EVIDENCE / "reg_samples_step0.png")
 
