@@ -67,11 +67,15 @@ class ImageFolderDataset:
 
         labels = np.asarray([self.samples[int(i)][1] for i in idxs],
                             np.int32)
-        # Native decode wins by scaling across cores GIL-free; on a
-        # single-core host Pillow's bundled libjpeg-turbo is faster.
-        use_native = native.available() and (
-            (os.cpu_count() or 1) >= 2
-            or os.environ.get("CALM_NATIVE_DECODE") == "1")
+        # Native decode wins everywhere it is available: it scales across
+        # cores GIL-free, and even single-threaded it measures faster than
+        # Pillow (560.9 vs 437.6 img/s on 256px JPEGs, 1-core host,
+        # docs/evidence/dataplane.json) — and, critically, it does not
+        # serialize against the trainer's dispatch thread the way
+        # GIL-holding PIL worker threads do. CALM_NATIVE_DECODE=0 forces
+        # the PIL path (A/B hook).
+        use_native = (native.available()
+                      and os.environ.get("CALM_NATIVE_DECODE") != "0")
         if use_native:
             paths = [self.samples[int(i)][0] for i in idxs]
             imgs, ok = native.decode_resize_batch(paths, self.size)
@@ -117,7 +121,15 @@ class BatchLoader:
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
-        self.num_workers = max(1, num_workers)
+        # Clamp workers to the host core count: each worker drives a
+        # GIL-free native decode of a whole batch, so workers beyond the
+        # core count only thrash (measured on a 1-core host: 1 worker
+        # 439 img/s, 2 workers 133, 5 workers 186 — the reference's
+        # num_workers=5 assumed a many-core host).
+        import os
+
+        self.num_workers = max(1, min(num_workers,
+                                      os.cpu_count() or num_workers))
         self.prefetch = prefetch
         self.drop_last = drop_last and not pad_last
         self.pad_last = pad_last

@@ -114,9 +114,21 @@ def bench_integrated(root: str, batch: int, steps: int, size: int) -> dict:
     jax.block_until_ready(state.params)
     syn_ips = batch * steps / (time.perf_counter() - t0)
 
-    # Real loader from disk: threaded prefetch decode feeding the chip.
+    # Loader-only throughput (no device work): the pipe's ceiling.
     ds = ImageFolderDataset(root, split="train", size=size)
     sampler = ShardedSampler(len(ds), 1, 0, seed=0)
+    loader = BatchLoader(ds, sampler, batch, num_workers=cfg.num_workers)
+    it = iter(loader)
+    next(it)
+    n = 0
+    t0 = time.perf_counter()
+    for _ in it:
+        n += 1
+        if n >= steps:
+            break
+    loader_only_ips = batch * n / (time.perf_counter() - t0)
+
+    # Real loader from disk feeding the chip.
     loader = BatchLoader(ds, sampler, batch, num_workers=cfg.num_workers)
     it = iter(loader)
     first = next(it)  # let workers spin up / not counted
@@ -135,6 +147,7 @@ def bench_integrated(root: str, batch: int, steps: int, size: int) -> dict:
     real_ips = batch * n / (time.perf_counter() - t0)
     return {"batch": batch, "steps": steps,
             "synthetic_img_per_s": round(syn_ips, 1),
+            "loader_only_img_per_s": round(loader_only_ips, 1),
             "real_loader_img_per_s": round(real_ips, 1),
             "ratio": round(real_ips / syn_ips, 3)}
 
