@@ -234,6 +234,23 @@ def _split_heads(x: jax.Array, heads: int, head_dim: int) -> jax.Array:
     return x.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
 
 
+def _sn_heads(p: dict, s: dict, x: jax.Array, heads: int, dhead: int, *,
+              training: bool, dtype) -> tuple[jax.Array, dict]:
+    """Spectral-normed projection emitting the head-split (b,h,s,d) layout
+    DIRECTLY as one einsum contraction — no materialized (b,s,h*d) tensor,
+    no reshape+transpose pair. Standalone A/B at the S=224 flagship shape:
+    4.26 vs 4.91 ms fwd+bwd for the merged-dot+split+transpose chain
+    (scripts/layout_probe.py). Enabled via CALM_PROJ_IMPL=einsum pending
+    the in-model A/B (standalone wins historically shrink in-step)."""
+    from calm_vit_dte_tpu.nn.spectral_norm import spectral_normalize
+
+    w_norm, st = spectral_normalize(p["w"], s, training=training)
+    wh = w_norm.astype(dtype).reshape(heads, dhead, w_norm.shape[-1])
+    y = jnp.einsum("bsk,hdk->bhsd", x.astype(dtype), wh,
+                   preferred_element_type=dtype)
+    return y, st
+
+
 def _merge_heads(x: jax.Array) -> jax.Array:
     b, h, s, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
@@ -302,46 +319,83 @@ def vmla_apply(cfg: VMLAConfig, params: dict, state: dict,
                 params["t_kr_proj"], state["t_kr_proj"], kr,
                 training=training, dtype=dtype)
 
-    # q/k/v (+ decoupled-rope) projections, merged per shared input.
-    proj = {"q_proj": qz, "k_proj": kz, "v_proj": vz}
-    if cfg.reduce:
-        proj["qr_proj"] = qr
-        proj["kr_proj"] = kr
-    groups: list[tuple[list[str], jax.Array]] = []
-    for name, inp in proj.items():
-        for names, g_inp in groups:
-            if g_inp is inp:
-                names.append(name)
-                break
-        else:
-            groups.append(([name], inp))
-    outs: dict[str, jax.Array] = {}
-    for names, inp in groups:
-        if len(names) == 1:
-            outs[names[0]], new_state[names[0]] = sn_linear_apply(
-                params[names[0]], state[names[0]], inp, training=training,
-                dtype=dtype)
-        else:
-            for name, y in zip(names, _sn_multi(
-                    params, state, names, inp, new_state,
-                    training=training, dtype=dtype)):
-                outs[name] = y
-
     content_dim = cfg.head_dim_content if cfg.reduce else cfg.head_dim
-    q = _split_heads(outs["q_proj"], cfg.heads, content_dim)
-    k = _split_heads(outs["k_proj"], cfg.heads, content_dim)
-    v = _split_heads(outs["v_proj"], cfg.heads, cfg.head_dim)
+    import os
 
-    # RoPE rotation and content++rope concat happen inside the attention op
-    # (in VMEM on the fused TPU path; reference chain at
-    # Vi_Tools_CNN_less_V2.py:274-285 materializes both).
-    if cfg.reduce:
-        qr = _split_heads(outs["qr_proj"], cfg.heads, cfg.head_dim_rope)
-        kr = _split_heads(outs["kr_proj"], cfg.heads, cfg.head_dim_rope)
-        qc, kc = q, k
+    # In-model A/B (v5e-1, flagship): einsum projections LOSE 1.2% on the
+    # training step (619.7 vs 627.1 img/s — the backward favors XLA's
+    # fusion of the merged-dot chain) but WIN 4.8% on the eval/serving
+    # forward (2006 vs 1915 img/s). Default: einsum when not training,
+    # merged-dot+split when training; CALM_PROJ_IMPL=einsum|split forces.
+    impl = os.environ.get("CALM_PROJ_IMPL")
+    use_einsum = ("w" in params["q_proj"]
+                  and (impl == "einsum"
+                       or (impl is None and not training)))
+    if use_einsum:
+        # Head-split einsum projections (see _sn_heads): each projection
+        # contracts straight into (b,h,s,d); no merged dot, no transpose.
+        q, new_state["q_proj"] = _sn_heads(
+            params["q_proj"], state["q_proj"], qz, cfg.heads, content_dim,
+            training=training, dtype=dtype)
+        k, new_state["k_proj"] = _sn_heads(
+            params["k_proj"], state["k_proj"], kz, cfg.heads, content_dim,
+            training=training, dtype=dtype)
+        v, new_state["v_proj"] = _sn_heads(
+            params["v_proj"], state["v_proj"], vz, cfg.heads, cfg.head_dim,
+            training=training, dtype=dtype)
+        if cfg.reduce:
+            qr, new_state["qr_proj"] = _sn_heads(
+                params["qr_proj"], state["qr_proj"], qr, cfg.heads,
+                cfg.head_dim_rope, training=training, dtype=dtype)
+            kr, new_state["kr_proj"] = _sn_heads(
+                params["kr_proj"], state["kr_proj"], kr, cfg.heads,
+                cfg.head_dim_rope, training=training, dtype=dtype)
+            qc, kc = q, k
+        else:
+            qr, kr = q, k
+            qc = kc = None
     else:
-        qr, kr = q, k
-        qc = kc = None
+        # q/k/v (+ decoupled-rope) projections, merged per shared input.
+        proj = {"q_proj": qz, "k_proj": kz, "v_proj": vz}
+        if cfg.reduce:
+            proj["qr_proj"] = qr
+            proj["kr_proj"] = kr
+        groups: list[tuple[list[str], jax.Array]] = []
+        for name, inp in proj.items():
+            for names, g_inp in groups:
+                if g_inp is inp:
+                    names.append(name)
+                    break
+            else:
+                groups.append(([name], inp))
+        outs: dict[str, jax.Array] = {}
+        for names, inp in groups:
+            if len(names) == 1:
+                outs[names[0]], new_state[names[0]] = sn_linear_apply(
+                    params[names[0]], state[names[0]], inp,
+                    training=training, dtype=dtype)
+            else:
+                for name, y in zip(names, _sn_multi(
+                        params, state, names, inp, new_state,
+                        training=training, dtype=dtype)):
+                    outs[name] = y
+
+        q = _split_heads(outs["q_proj"], cfg.heads, content_dim)
+        k = _split_heads(outs["k_proj"], cfg.heads, content_dim)
+        v = _split_heads(outs["v_proj"], cfg.heads, cfg.head_dim)
+
+        # RoPE rotation and content++rope concat happen inside the
+        # attention op (in VMEM on the fused TPU path; reference chain at
+        # Vi_Tools_CNN_less_V2.py:274-285 materializes both).
+        if cfg.reduce:
+            qr = _split_heads(outs["qr_proj"], cfg.heads,
+                              cfg.head_dim_rope)
+            kr = _split_heads(outs["kr_proj"], cfg.heads,
+                              cfg.head_dim_rope)
+            qc, kc = q, k
+        else:
+            qr, kr = q, k
+            qc = kc = None
     attn, new_state["linear_mask"] = masked_rope_attention(
         qc, qr, kc, kr, v, params["rope_q"], params["rope_k"],
         params.get("linear_mask"), state.get("linear_mask"),

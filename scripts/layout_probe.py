@@ -9,12 +9,15 @@ step budget attributes ~43.8 ms of dots + ~17.6 ms of transposes to
   split-einsum     q/k/v = einsum('bsk,hdk->bhsd', x, W_h)  (one dot each,
                    head axis produced directly — no materialized transpose)
   merge-baseline   o = transpose(attn).reshape @ Wo^T
-  merge-einsum     o = einsum('bhsd,hdo->bso', attn, Wo_h)  (merge + out
+  merge-einsum     o = einsum('bhsd,ohd->bso', attn, Wo_h)  (merge + out
                    projection in ONE contraction over (h,d))
 
-Each variant is timed fwd and fwd+bwd (sum-of-squares loss, grads to x/W).
-Standalone wins historically overstate in-step wins (r3 conv lesson), so a
-winning probe graduates to an in-model env-flag A/B before adoption.
+Each variant is timed fwd+bwd via the donated-chain harness
+(scripts/_bench_util.time_chained — independent dispatches are elided /
+round-trip-dominated on this remote runtime; primals are threaded with
+their grads so every iteration depends on the last). Standalone wins
+historically overstate in-step wins (r3 conv lesson), so a winning probe
+graduates to an in-model env-flag A/B before adoption.
 
   python scripts/layout_probe.py [--batch 128] [--seq 224] [--dim 672]
 """
@@ -24,11 +27,11 @@ from __future__ import annotations
 import argparse
 import pathlib
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -38,18 +41,20 @@ jax.config.update("jax_compilation_cache_dir",
                       / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from _bench_util import time_chained  # noqa: E402
 
-def timeit(f, args, iters=20):
-    out = f(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+
+def time_fwd_bwd(f, args, iters=10):
+    """f(*args) -> scalar loss; times grad-of-f with primals threaded by
+    their grads (shapes match, so the chain is exact)."""
+    g = jax.grad(f, argnums=tuple(range(len(args))))
+
+    def step(a):
+        grads = g(*a)
+        return tuple(x + 1e-6 * dx.astype(x.dtype)
+                     for x, dx in zip(a, grads))
+
+    return time_chained(step, tuple(args), iters=iters) * 1e3
 
 
 def main() -> None:
@@ -84,7 +89,7 @@ def main() -> None:
                        preferred_element_type=jnp.bfloat16)
             for i in range(3))
 
-    def consume3(f):
+    def loss3(f):
         def g(x, w):
             q, k, v = f(x, w)
             return (jnp.sum(q.astype(jnp.float32) ** 2)
@@ -94,11 +99,8 @@ def main() -> None:
 
     for name, f in (("split-baseline", split_baseline),
                     ("split-einsum", split_einsum)):
-        fwd = timeit(jax.jit(f), (x, wqkv))
-        fb = timeit(jax.jit(jax.grad(consume3(f), argnums=(0, 1))),
-                    (x, wqkv))
-        print(f"{name:16s} fwd {fwd:7.3f} ms   fwd+bwd {fb:7.3f} ms",
-              flush=True)
+        ms = time_fwd_bwd(loss3(f), (x, wqkv))
+        print(f"{name:16s} fwd+bwd {ms:8.3f} ms", flush=True)
 
     # ---- head merge + out projection ---------------------------------
     def merge_baseline(a, w):
@@ -110,18 +112,15 @@ def main() -> None:
         return jnp.einsum("bhsd,ohd->bso", a, wh,
                           preferred_element_type=jnp.bfloat16)
 
-    def consume1(f):
+    def loss1(f):
         def g(a, w):
             return jnp.sum(f(a, w).astype(jnp.float32) ** 2)
         return g
 
     for name, f in (("merge-baseline", merge_baseline),
                     ("merge-einsum", merge_einsum)):
-        fwd = timeit(jax.jit(f), (attn, wo))
-        fb = timeit(jax.jit(jax.grad(consume1(f), argnums=(0, 1))),
-                    (attn, wo))
-        print(f"{name:16s} fwd {fwd:7.3f} ms   fwd+bwd {fb:7.3f} ms",
-              flush=True)
+        ms = time_fwd_bwd(loss1(f), (attn, wo))
+        print(f"{name:16s} fwd+bwd {ms:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -100,7 +101,12 @@ def candidates(b: int, s: int) -> list[tuple[int, int]]:
 
 def time_candidate(shape: tuple, tile: tuple[int, int],
                    iters: int = 10) -> float:
-    """fwd+bwd ms for the rope-fused kernel under a forced tile."""
+    """fwd+bwd ms for the rope-fused kernel under a forced tile, via the
+    donated-chain harness (_bench_util.time_chained) — independent
+    dispatches are elided / round-trip-dominated on this remote runtime,
+    so primals are threaded with their own grads between iterations."""
+    from _bench_util import time_chained
+
     from calm_vit_dte_tpu.kernels import axial_attention as ka
 
     b, h, s, dc, dr, dv = shape
@@ -126,28 +132,32 @@ def time_candidate(shape: tuple, tile: tuple[int, int],
     cq, sq_, ck, sk = jnp.cos(fr), jnp.sin(fr), jnp.cos(1.1 * fr), \
         jnp.sin(1.1 * fr)
     scale = 1.0 / ((dc + dr) ** 0.5)
+    args = tuple(a for a in (qc, qr, kc, kr, v, cq, sq_, ck, sk, w1, w2)
+                 if a is not None)
 
-    def loss(qc, qr, kc, kr, v, cq, sq_, ck, sk, w1, w2):
-        o = ka.fused_rope_attention(qc, qr, kc, kr, v, cq, sq_, ck, sk,
-                                    w1, b1, w2, b2, scale=scale,
-                                    dtype=jnp.bfloat16)
+    def loss(*a):
+        it = iter(a)
+        aqc = next(it) if dc else None
+        aqr = next(it)
+        akc = next(it) if dc else None
+        akr = next(it)
+        av, acq, asq, ack, ask, aw1, aw2 = (next(it) for _ in range(7))
+        o = ka.fused_rope_attention(aqc, aqr, akc, akr, av, acq, asq,
+                                    ack, ask, aw1, b1, aw2, b2,
+                                    scale=scale, dtype=jnp.bfloat16)
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
-    argnums = tuple(i for i, a in enumerate(
-        (qc, qr, kc, kr, v, cq, sq_, ck, sk, w1, w2)) if a is not None)
-    f = jax.jit(jax.value_and_grad(loss, argnums=argnums))
-    args = (qc, qr, kc, kr, v, cq, sq_, ck, sk, w1, w2)
-    out = f(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    ka._TILE_OVERRIDE.clear()
-    return best * 1e3
+    g = jax.grad(loss, argnums=tuple(range(len(args))))
+
+    def step(a):
+        grads = g(*a)
+        return tuple(x + 1e-6 * dx.astype(x.dtype)
+                     for x, dx in zip(a, grads))
+
+    try:
+        return time_chained(step, args, iters=iters) * 1e3
+    finally:
+        ka._TILE_OVERRIDE.clear()
 
 
 def main() -> None:
