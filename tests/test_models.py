@@ -186,3 +186,37 @@ def test_conv_impl_env_var_validated(monkeypatch):
     with pytest.raises(ValueError, match="CALM_CONV_IMPL"):
         conv_residual_apply(params, state, x, training=False,
                             dtype=jnp.float32)
+
+
+def test_projection_impls_match():
+    """The eval-default einsum head-split projections and the training
+    merged-dot+split path compute the same function (models/vmla.py
+    CALM_PROJ_IMPL): fp32 forward agreement on the tiny model."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from calm_vit_dte_tpu.models.vit import vit_apply, vit_init
+    from calm_vit_dte_tpu.utils.configs import get_config
+
+    cfg = get_config("tiny-cls").model
+    params, sn = vit_init(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 48, 48, 3)),
+                    jnp.float32)
+    prev = os.environ.get("CALM_PROJ_IMPL")
+    try:
+        os.environ["CALM_PROJ_IMPL"] = "split"
+        out0, _, _ = vit_apply(cfg, params, sn, x, training=False,
+                               dtype=jnp.float32)
+        os.environ["CALM_PROJ_IMPL"] = "einsum"
+        out1, _, _ = vit_apply(cfg, params, sn, x, training=False,
+                               dtype=jnp.float32)
+    finally:
+        if prev is None:
+            os.environ.pop("CALM_PROJ_IMPL", None)
+        else:
+            os.environ["CALM_PROJ_IMPL"] = prev
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               atol=2e-5, rtol=2e-5)
