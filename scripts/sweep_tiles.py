@@ -169,6 +169,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dry-run", action="store_true",
                     help="print discovered shapes and exit")
+    ap.add_argument("--skip-cached", action="store_true",
+                    help="skip shapes already in tile_cache.json "
+                         "(resume an interrupted sweep)")
     args = ap.parse_args()
 
     if args.shapes:
@@ -188,6 +191,10 @@ def main() -> None:
         cache = json.loads(CACHE.read_text())
     for shape in shapes:
         b, h, s, dc, dr, dv = shape
+        if args.skip_cached and \
+                ("rope|" + ",".join(map(str, shape))) in cache:
+            print(f"  {shape}: cached, skipping", flush=True)
+            continue
         default = ka._pick_tiles_rope(b, h, s, dc, dr, dv)
         results = {}
         for tile in candidates(b, s):
