@@ -118,6 +118,64 @@ def aggregate(trace_dir: str, steps: int, top: int,
         print(f"{t/div:8.2f} ms  {k[:160]}")
 
 
+def aggregate_by_category(trace_dir: str, steps: int, top: int,
+                          shapes_for: tuple = ()) -> None:
+    """Aggregate by HLO opcode/fusion-kind (encoded in the HLO op name)
+    instead of framework op path. This is the view that found the round-4
+    glue decomposition: the fw-op view buries layout copies and unfused
+    converts under 'transpose', while here `copy` / `convert_bitcast_fusion`
+    / `concatenate` surface as their own rows. For any category named in
+    `shapes_for`, a second table itemizes it by result shape + fw op, which
+    is what attributes e.g. every convert_bitcast_fusion to the attention
+    backward's (b,s,h,d) head relayouts."""
+    import re
+
+    from xprof.convert import raw_to_tool_data as r
+
+    paths = glob.glob(os.path.join(trace_dir,
+                                   "plugins/profile/*/*.xplane.pb"))
+    data, _ = r.xspace_to_tool_data(paths, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    d = json.loads(data)
+    ix = {c["id"]: i for i, c in enumerate(d["cols"])}
+    rows = [[c.get("v") for c in row["c"]] for row in d["rows"]]
+    div = steps * 1e3
+
+    def category(row):
+        hlo = (row[ix["hlo_op_name"]] or "")
+        return re.sub(r"[.\d]+$", "", hlo.split("(")[0]) or "?"
+
+    cat: collections.Counter = collections.Counter()
+    n: collections.Counter = collections.Counter()
+    for row in rows:
+        c = category(row)
+        cat[c] += row[ix["total_self_time"]] or 0
+        n[c] += 1
+    print(f"\nby HLO category ({sum(cat.values())/div:.1f} ms/step):")
+    for k, t in cat.most_common(top):
+        print(f"{t/div:8.2f} ms  {n[k]:5d} ops  {k}")
+
+    for want in shapes_for:
+        by: collections.Counter = collections.Counter()
+        cnt: collections.Counter = collections.Counter()
+        fw: dict = {}
+        for row in rows:
+            if category(row) != want:
+                continue
+            expr = str(row[ix.get("hlo_op_expression",
+                                  ix["hlo_op_name"])])
+            m = re.search(r"=\s*(\S+?\[[^\]]*\])", expr)
+            shp = m.group(1) if m else expr[:50]
+            by[shp] += row[ix["total_self_time"]] or 0
+            cnt[shp] += 1
+            fw[shp] = (row[ix["tf_op_name"]] or "?")[:90]
+        print(f"\n{want} by result shape "
+              f"({sum(by.values())/div:.2f} ms/step):")
+        for k, t in by.most_common(14):
+            print(f"{t/div:7.2f} ms x{cnt[k]:3d}  {k}   [{fw[k]}]")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="imagenet-cls-224")
@@ -128,11 +186,22 @@ def main() -> None:
     ap.add_argument("--trace-dir", default=None)
     ap.add_argument("--split", default="",
                     help="comma-sep op substrings to de-aggregate by HLO shape (e.g. dot_general,transpose)")
+    ap.add_argument("--by-category", default=None, const="", nargs="?",
+                    help="also aggregate by HLO opcode/fusion kind; the "
+                    "optional value is a comma-sep list of categories to "
+                    "itemize by result shape (e.g. copy,convert_bitcast_fusion)")
+    ap.add_argument("--no-capture", action="store_true",
+                    help="reuse an existing --trace-dir without re-running")
     args = ap.parse_args()
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="calm_trace_")
-    capture(args.config, args.batch, args.steps, args.task, trace_dir)
+    if not args.no_capture:
+        capture(args.config, args.batch, args.steps, args.task, trace_dir)
     aggregate(trace_dir, args.steps, args.top,
               tuple(s for s in args.split.split(",") if s))
+    if args.by_category is not None:
+        aggregate_by_category(
+            trace_dir, args.steps, args.top,
+            tuple(s for s in args.by_category.split(",") if s))
 
 
 if __name__ == "__main__":
