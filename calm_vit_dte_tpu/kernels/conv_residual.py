@@ -15,9 +15,10 @@ lost in-step to XLA's fused NHWC autodiff (209.6-218.7 vs 202.0 ms step),
 whose backward fuses the 1x1 grads and elementwise chain better than any
 hand assembly of the same graph.
 
-Formulation (round 3; the round-2 per-channel-plane loop kernel lives in
-experimental/conv_residual_loop.py — VPU-bound ~100x SoL from 9
-lane-unaligned slices serialized per channel): CHANNEL-MAJOR, LANE-ALIGNED
+Formulation (round 3; the round-2 per-channel-plane loop kernel — VPU-bound
+~100x SoL from 9 lane-unaligned slices serialized per channel — was deleted
+in round 5; its formulation record lives in NOTES.md "Deleted experiments"):
+CHANNEL-MAJOR, LANE-ALIGNED
 flat layout. The padded image is (32, NP) with NP = (S+2) * RS and
 RS = (S+2) rounded up to 128 — hidden channels in sublanes, each image row
 padded to a 128-multiple stride. Consequences, all measured on v5e:
