@@ -418,6 +418,26 @@ def main() -> None:
                 print(f"reconstruct bench bs={rbs} failed: "
                       f"{type(e).__name__}: {str(e)[:200]}",
                       file=sys.stderr, flush=True)
+    # Toolchain canaries (~1 min): re-measure the two deliberately-unadopted
+    # layouts vs committed baselines so a jax/libtpu upgrade that flips a
+    # parked-optimization verdict shows up in the driver-recorded
+    # BENCH_r*.json, not only in a manual probe run. BENCH_SKIP_CANARY=1
+    # skips (e.g. CPU-only environments where the timings are meaningless).
+    if (os.environ.get("BENCH_SKIP_CANARY") != "1"
+            and jax.default_backend() != "cpu"):
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from canary_probes import run_canaries
+
+            _, flips = run_canaries()
+            out["canaries"] = ("ok" if not flips else
+                               "FLIPPED:" + ",".join(n for n, _ in flips))
+            for name, todo in flips:
+                print(f"CANARY OPPORTUNITY [{name}]: {todo}",
+                      file=sys.stderr, flush=True)
+        except Exception as e:
+            out["canaries"] = f"error: {type(e).__name__}: {str(e)[:120]}"
     print(json.dumps(out))
 
 

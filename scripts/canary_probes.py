@@ -160,33 +160,49 @@ FOLLOWUP = {
 }
 
 
+def run_canaries() -> tuple[dict, list]:
+    """Measure both probes and diff against the committed baselines.
+
+    Returns (results, flips) where flips is [(name, follow-up text), ...].
+    Called by bench.py so the driver-recorded BENCH_r*.json surfaces a
+    toolchain upgrade that re-opens a parked optimization (VERDICT r4
+    weak #3)."""
+    results = {"swap": probe_swap(), "proj": probe_proj(),
+               "jax": jax.__version__}
+    flips = []
+    if BASELINES.exists():
+        base = json.loads(BASELINES.read_text())
+        sw = results["swap"]
+        if sw["status"] == "ok" and not sw["blocked"]:
+            flips.append(("swap", FOLLOWUP["swap"]))
+        pr, pb = results["proj"], base.get("proj", {})
+        if pr["status"] == "ok" and pb.get("einsum_speedup") and abs(
+                pr["einsum_speedup"] - pb["einsum_speedup"]) \
+                > 0.10 * pb["einsum_speedup"]:
+            flips.append(("proj", FOLLOWUP["proj"]))
+    return results, flips
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebaseline", action="store_true")
     args = ap.parse_args()
 
-    results = {"swap": probe_swap(), "proj": probe_proj(),
-               "jax": jax.__version__}
-    print(json.dumps(results, indent=1))
-
     if args.rebaseline or not BASELINES.exists():
+        results = {"swap": probe_swap(), "proj": probe_proj(),
+                   "jax": jax.__version__}
+        print(json.dumps(results, indent=1))
         BASELINES.parent.mkdir(parents=True, exist_ok=True)
         BASELINES.write_text(json.dumps(results, indent=1) + "\n")
         print(f"baselines written to {BASELINES}")
         return
 
+    results, flips = run_canaries()
+    print(json.dumps(results, indent=1))
     base = json.loads(BASELINES.read_text())
-    flips = []
-    sw, sb = results["swap"], base.get("swap", {})
-    if sw["status"] == "ok" and not sw["blocked"]:
-        flips.append(("swap", FOLLOWUP["swap"]))
-    pr, pb = results["proj"], base.get("proj", {})
-    if pr["status"] == "ok" and pb.get("einsum_speedup") and abs(
-            pr["einsum_speedup"] - pb["einsum_speedup"]) \
-            > 0.10 * pb["einsum_speedup"]:
-        flips.append(("proj", FOLLOWUP["proj"]))
-
     if not flips:
+        sw, pr = results["swap"], results["proj"]
+        pb = base.get("proj", {})
         print("\nCANARY: no change — both layouts remain blocked on this "
               "toolchain (swap: pallas "
               f"{sw.get('pallas_ms')} vs xla {sw.get('xla_ms')} ms; "

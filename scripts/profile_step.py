@@ -75,6 +75,11 @@ def capture(config: str, batch_size: int, steps: int, task: str,
         state, m = js(state, batch)
     jax.block_until_ready(state.params)
     jax.profiler.stop_trace()
+    # Persist the capture parameters so --no-capture reuse can't silently
+    # divide by a mismatched step count.
+    with open(os.path.join(trace_dir, "capture_meta.json"), "w") as f:
+        json.dump({"steps": steps, "config": config,
+                   "batch_size": batch_size, "task": task}, f)
 
 
 def aggregate(trace_dir: str, steps: int, top: int,
@@ -169,11 +174,18 @@ def aggregate_by_category(trace_dir: str, steps: int, top: int,
             shp = m.group(1) if m else expr[:50]
             by[shp] += row[ix["total_self_time"]] or 0
             cnt[shp] += 1
-            fw[shp] = (row[ix["tf_op_name"]] or "?")[:90]
+            # Collect ALL fw ops landing on this shape — a single-label
+            # (last-writer-wins) table can misattribute the whole row when
+            # different framework paths produce the same result shape.
+            fw.setdefault(shp, set()).add(
+                (row[ix["tf_op_name"]] or "?")[:90])
         print(f"\n{want} by result shape "
               f"({sum(by.values())/div:.2f} ms/step):")
         for k, t in by.most_common(14):
-            print(f"{t/div:7.2f} ms x{cnt[k]:3d}  {k}   [{fw[k]}]")
+            ops = sorted(fw[k])
+            label = ops[0] if len(ops) == 1 else (
+                f"{ops[0]} (+{len(ops) - 1} more fw ops)")
+            print(f"{t/div:7.2f} ms x{cnt[k]:3d}  {k}   [{label}]")
 
 
 def main() -> None:
@@ -196,6 +208,22 @@ def main() -> None:
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="calm_trace_")
     if not args.no_capture:
         capture(args.config, args.batch, args.steps, args.task, trace_dir)
+    else:
+        # Reusing a saved trace: every printed ms/step divides by --steps,
+        # so it must match the original capture's step count.
+        meta_path = os.path.join(trace_dir, "capture_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("steps") != args.steps:
+                print(f"capture_meta.json says the trace was captured with "
+                      f"steps={meta['steps']}; using that instead of "
+                      f"--steps={args.steps}")
+                args.steps = meta["steps"]
+        else:
+            print(f"WARNING: no capture_meta.json in {trace_dir}; assuming "
+                  f"the trace was captured with --steps={args.steps} — "
+                  f"every ms/step figure scales with that assumption")
     aggregate(trace_dir, args.steps, args.top,
               tuple(s for s in args.split.split(",") if s))
     if args.by_category is not None:
