@@ -188,20 +188,108 @@ def gen_rope():
     print("rope", y.shape)
 
 
-if __name__ == "__main__":
-    gen_rope()
-    gen_sn_linear_train()
-    # Non-reduce self-attention layer (dim1 == dim2, same seq).
-    gen_vmla("vmla_plain", heads=3, dim1=144, dim2=144, mean_var_hidden=24,
-             seq_length=48, seq_len_reduce=8, seq_len_new=48, mlp_dim=288,
-             force_reduce=False)
-    # Reducing cross-attention layer (the variational path).
-    gen_vmla("vmla_reduce", heads=3, dim1=144, dim2=108, mean_var_hidden=24,
-             seq_length=48, seq_len_reduce=8, seq_len_new=36, mlp_dim=216,
-             force_reduce=False, is_cross=True)
-    gen_block()
-    gen_vit("vit_cls_tiny", generate=False, out_features=10)
-    gen_vit("vit_reg_tiny", generate=True, out_features=TINY["dim1"])
+class _NoiseSeq:
+    """Deterministic eps sequence shared with the JAX consumer
+    (tests/test_parity_grad.py replays the same sequence through
+    ops.variational.noise_override)."""
+
+    def __init__(self):
+        self.i = 0
+
+    def __call__(self, shape):
+        arr = np.random.default_rng(1000 + self.i).standard_normal(shape)
+        self.i += 1
+        return arr.astype(np.float32)
+
+
+def gen_grad_traj(name: str, generate: bool, out_features: int,
+                  steps: int = 10, steps_per_epoch: int = 2,
+                  epochs: int = 5):
+    """Backward-pass goldens: per-parameter gradients of the reference
+    training loss for ONE step, plus a `steps`-step AdamW trajectory
+    (losses + pre-clip grad norms + final weights).
+
+    Mirrors the reference trainers exactly:
+      * cls:  CrossEntropyLoss on soft labels (distributed_trainer_cls.py:63,86)
+      * reg:  HuberLoss(delta=1) + 0.1*KL      (distributed_trainer_reg.py:59,88)
+      * AdamW(3.1e-3, wd=0.02, betas=(0.9,0.98))   (cls trainer :158)
+      * clip_grad_norm_(max_norm=1)                 (:92)
+      * CosineAnnealingLR(T_max=epochs, eta_min=1e-6) stepped once per
+        "epoch" = `steps_per_epoch` optimizer steps (:52,108-109) — small
+        steps_per_epoch so the 10-step trajectory crosses schedule
+        boundaries and pins the per-epoch timing.
+
+    Train-mode noise is injected via a monkeypatched torch.randn_like (the
+    cross-framework fixed-noise convention of tests/test_parity_train.py).
+    """
+    torch.manual_seed(23)
+    m = _RefViT(generate, out_features)
+    torch.manual_seed(29)
+    x = torch.randn(2, 3, 48, 48)
+    _warm_sn(m, lambda: m(x))
+    # MUST deep-copy: _sd_to_np returns numpy VIEWS of the live tensors, and
+    # np.savez only serializes at the end — after opt.step() has mutated the
+    # weights in place (this silently saved the final weights as sd0 once).
+    sd0 = {f"sd/{k}": v.detach().clone().numpy()
+           for k, v in m.state_dict().items()}
+
+    rng = np.random.default_rng(500)
+    targets = None
+    if not generate:
+        logits = rng.standard_normal((2, out_features)).astype(np.float32)
+        targets = torch.softmax(torch.from_numpy(logits), dim=1)
+
+    noise = _NoiseSeq()
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda t: torch.from_numpy(noise(tuple(t.shape)))
+    try:
+        m.train()
+        opt = torch.optim.AdamW(m.parameters(), lr=3.1e-3,
+                                betas=(0.9, 0.98), eps=1e-8,
+                                weight_decay=0.02)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=epochs, eta_min=1e-6)
+        ce = torch.nn.CrossEntropyLoss()
+        hub = torch.nn.HuberLoss(delta=1.0)
+        losses, gnorms = [], []
+        grads0 = {}
+        for t in range(steps):
+            opt.zero_grad(set_to_none=True)
+            y, kl = m(x)
+            if not generate:
+                loss = ce(y.squeeze(), targets)
+            else:
+                s = y.shape[1]
+                img = y.reshape(-1, s, s, 3).permute(0, 3, 1, 2)
+                loss = hub(img, x) + kl * 0.1
+            loss.backward()
+            if t == 0:
+                grads0 = {
+                    f"grad/{n}": (p.grad.detach().clone().numpy()
+                                  if p.grad is not None
+                                  else np.zeros(tuple(p.shape), np.float32))
+                    for n, p in m.named_parameters()}
+            gnorm = torch.nn.utils.clip_grad_norm_(
+                m.parameters(), max_norm=1, error_if_nonfinite=False)
+            opt.step()
+            losses.append(float(loss))
+            gnorms.append(float(gnorm))
+            if (t + 1) % steps_per_epoch == 0:
+                sched.step()
+    finally:
+        torch.randn_like = orig_randn_like
+
+    assert noise.i > 0, "no train-mode noise was drawn"
+    sdF = {f"sdF/{k}": v.detach().numpy() for k, v in m.state_dict().items()}
+    extra = {}
+    if targets is not None:
+        extra["in/targets"] = targets.numpy()
+    np.savez(OUT / f"{name}.npz", **sd0, **grads0, **sdF,
+             **{"in/x": x.numpy(),
+                "out/losses": np.asarray(losses, np.float32),
+                "out/gnorms": np.asarray(gnorms, np.float32),
+                "out/noise_count": np.int64(noise.i)}, **extra)
+    print(name, "losses", [round(v, 5) for v in losses])
 
 
 def gen_encoder8():
@@ -218,3 +306,28 @@ def gen_encoder8():
     np.savez(OUT / "encoder8.npz", **_sd_to_np(m), **{"in/x": x.numpy()},
              **{"out/y": y.numpy()})
     print("encoder8", y.shape)
+
+if __name__ == "__main__":
+    # `python generate_goldens.py grad` regenerates ONLY the backward-pass
+    # goldens (leaves the committed forward goldens untouched).
+    if len(sys.argv) > 1 and sys.argv[1] == "grad":
+        gen_grad_traj("grad_traj_cls_tiny", generate=False, out_features=10)
+        gen_grad_traj("grad_traj_reg_tiny", generate=True,
+                      out_features=TINY["dim1"])
+        sys.exit(0)
+    gen_rope()
+    gen_sn_linear_train()
+    # Non-reduce self-attention layer (dim1 == dim2, same seq).
+    gen_vmla("vmla_plain", heads=3, dim1=144, dim2=144, mean_var_hidden=24,
+             seq_length=48, seq_len_reduce=8, seq_len_new=48, mlp_dim=288,
+             force_reduce=False)
+    # Reducing cross-attention layer (the variational path).
+    gen_vmla("vmla_reduce", heads=3, dim1=144, dim2=108, mean_var_hidden=24,
+             seq_length=48, seq_len_reduce=8, seq_len_new=36, mlp_dim=216,
+             force_reduce=False, is_cross=True)
+    gen_block()
+    gen_vit("vit_cls_tiny", generate=False, out_features=10)
+    gen_vit("vit_reg_tiny", generate=True, out_features=TINY["dim1"])
+    gen_grad_traj("grad_traj_cls_tiny", generate=False, out_features=10)
+    gen_grad_traj("grad_traj_reg_tiny", generate=True,
+                  out_features=TINY["dim1"])
