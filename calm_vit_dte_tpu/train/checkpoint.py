@@ -7,6 +7,23 @@ checkpoints: params, spectral-norm u/v, optimizer moments, step counter and
 the base PRNG key, so resume is exact. A strict=False-style warm start from
 bare params is kept for reference-checkpoint migration
 (compat/torch_import.py).
+
+Checkpoint format is VERSIONED (round 5): every save writes a `meta` item
+next to the state (format_version, optimizer layout, saved step).
+`restore_checkpoint` reads it and, when the checkpoint's optimizer layout
+differs from the caller's, migrates the Adam moments between the two
+layouts this framework uses:
+
+  * 'fused-flat' — FusedAdamWState with flat fp32 mu/nu vectors
+    (train/optim.py, flatten=True; the DP production path);
+  * 'tree'       — optax apply_if_finite(chain(clip, adamw)) with per-param
+    moments (flatten=False; required under tensor parallelism, where the
+    moments carry per-param shardings).
+
+This makes resume-across-mesh-reshape real: a run checkpointed at data=8
+(fused-flat) restores and continues at data=4 x model=2 (tree), and vice
+versa. Version-1 checkpoints (rounds 1-4, no meta item) restore unchanged
+via the legacy path.
 """
 
 from __future__ import annotations
@@ -15,24 +32,38 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
+from calm_vit_dte_tpu.train.optim import FusedAdamWState
 from calm_vit_dte_tpu.train.state import TrainState
+
+CKPT_FORMAT_VERSION = 2
 
 
 def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
+def opt_layout(opt_state: Any) -> str:
+    return ("fused-flat" if isinstance(opt_state, FusedAdamWState)
+            else "tree")
+
+
 def save_checkpoint(path: str, state: TrainState, step: int | None = None,
                     keep: int = 3) -> None:
     """Save under path/<step>/ (CheckpointManager keeps the newest `keep`)."""
     step = int(state.step) if step is None else step
+    meta = {"format_version": CKPT_FORMAT_VERSION,
+            "opt_layout": opt_layout(state.opt_state),
+            "step": step}
     with ocp.CheckpointManager(
             _abs(path),
             options=ocp.CheckpointManagerOptions(max_to_keep=keep,
                                                  create=True)) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.save(step, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            meta=ocp.args.JsonSave(meta)))
 
 
 def latest_step(path: str) -> int | None:
@@ -43,14 +74,195 @@ def latest_step(path: str) -> int | None:
         return None
 
 
-def restore_checkpoint(path: str, template: TrainState,
-                       step: int | None = None) -> TrainState | None:
-    """Restore into the shape/sharding of `template`; None if no checkpoint."""
+def checkpoint_meta(path: str, step: int | None = None) -> dict | None:
+    """The checkpoint's meta dict; {'format_version': 1} for pre-version
+    checkpoints (rounds 1-4 wrote the bare state with no meta item); None if
+    no checkpoint exists."""
     with ocp.CheckpointManager(_abs(path)) as mgr:
         step = mgr.latest_step() if step is None else step
         if step is None:
             return None
+        try:
+            out = mgr.restore(step, args=ocp.args.Composite(
+                meta=ocp.args.JsonRestore()))
+            return dict(out["meta"])
+        except (KeyError, FileNotFoundError, ValueError, TypeError):
+            return {"format_version": 1}
+
+
+def _map_namedtuples(node: Any, fn) -> Any:
+    """Rebuild a pytree of namedtuples/tuples/lists/dicts, letting `fn`
+    replace whole sub-nodes (return None to recurse)."""
+    out = fn(node)
+    if out is not None:
+        return out
+    if isinstance(node, tuple) and hasattr(node, "_fields"):
+        return type(node)(**{f: _map_namedtuples(getattr(node, f), fn)
+                             for f in node._fields})
+    if isinstance(node, (tuple, list)):
+        return type(node)(_map_namedtuples(x, fn) for x in node)
+    if isinstance(node, dict):
+        return {k: _map_namedtuples(v, fn) for k, v in node.items()}
+    return node
+
+
+def _find_adam_state(opt_state: Any):
+    """Locate the ScaleByAdamState inside an optax state tree."""
+    import optax
+
+    found: list = []
+
+    def fn(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            found.append(node)
+            return node
+        return None
+
+    _map_namedtuples(opt_state, fn)
+    if len(found) != 1:
+        raise ValueError(
+            f"expected exactly one ScaleByAdamState, found {len(found)}")
+    return found[0]
+
+
+def migrate_opt_state(saved_opt: Any, target_opt_template: Any,
+                      params: Any) -> Any:
+    """Convert Adam moments between the fused-flat and tree layouts.
+
+    `saved_opt` holds the restored moments; `target_opt_template` is a
+    freshly tx.init()-built state of the target layout (its non-moment
+    leaves — schedule counters etc. — provide the structure). Count
+    semantics transfer exactly (both layouts count APPLIED steps, which
+    drives bias correction and the LR schedule). The fused layout's
+    `notfinite` (consecutive skips) maps to/from apply_if_finite's
+    notfinite_count; `gnorm` is a free metric and resets to 0.
+    """
+    import optax
+
+    from jax.flatten_util import ravel_pytree
+
+    src, tgt = opt_layout(saved_opt), opt_layout(target_opt_template)
+    if src == tgt:
+        return saved_opt
+    if src == "fused-flat":  # -> tree
+        _, unravel = ravel_pytree(params)
+        mu_tree = unravel(saved_opt.mu)
+        nu_tree = unravel(saved_opt.nu)
+
+        def fn(node):
+            if isinstance(node, optax.ScaleByAdamState):
+                return node._replace(count=saved_opt.count, mu=mu_tree,
+                                     nu=nu_tree)
+            if isinstance(node, optax.ScaleByScheduleState):
+                # The LR schedule's own step counter — without this the
+                # cosine schedule would restart from epoch 0 on resume.
+                return node._replace(count=saved_opt.count)
+            if isinstance(node, optax.ApplyIfFiniteState):
+                return node._replace(
+                    notfinite_count=saved_opt.notfinite,
+                    inner_state=_map_namedtuples(node.inner_state, fn))
+            return None
+
+        return _map_namedtuples(target_opt_template, fn)
+    # tree -> fused-flat
+    adam = _find_adam_state(saved_opt)
+    mu_flat, _ = ravel_pytree(adam.mu)
+    nu_flat, _ = ravel_pytree(adam.nu)
+    notfinite = (saved_opt.notfinite_count
+                 if hasattr(saved_opt, "notfinite_count")
+                 else jnp.zeros((), jnp.int32))
+    return FusedAdamWState(
+        count=jnp.asarray(adam.count, jnp.int32),
+        notfinite=jnp.asarray(notfinite, jnp.int32),
+        gnorm=jnp.zeros((), jnp.float32),
+        mu=mu_flat.astype(jnp.float32),
+        nu=nu_flat.astype(jnp.float32))
+
+
+def _abstract_saved_template(template: TrainState,
+                             saved_layout: str) -> TrainState:
+    """Template matching the SAVED optimizer layout, for cross-layout
+    restore. Params/sn_state/step/rng keep the caller's shardings; the
+    interim opt-state moments restore replicated on the caller's mesh (the
+    migrated result is device_put to the real shardings by the caller)."""
+    if saved_layout != "fused-flat":
+        raise ValueError(
+            "cross-layout restore of a tree-layout checkpoint requires "
+            "passing saved_opt_template= (the tree structure is "
+            "tx-specific and cannot be reconstructed from params alone)")
+    from jax.flatten_util import ravel_pytree
+
+    flat, _ = ravel_pytree(jax.tree.map(
+        lambda l: jnp.zeros(l.shape, l.dtype)
+        if hasattr(l, "shape") else l, template.params))
+    n = flat.size
+    # Replicate the interim moments on the same devices the caller's params
+    # live on (single-device or mesh-replicated both work for restore).
+    spec = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    leaf = jax.tree_util.tree_leaves(template.params)[0]
+    if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "mesh"):
+        spec = jax.sharding.NamedSharding(leaf.sharding.mesh,
+                                          jax.sharding.PartitionSpec())
+    sds = jax.ShapeDtypeStruct((n,), jnp.float32, sharding=spec)
+    scalar_i = jax.ShapeDtypeStruct((), jnp.int32, sharding=spec)
+    scalar_f = jax.ShapeDtypeStruct((), jnp.float32, sharding=spec)
+    fused = FusedAdamWState(count=scalar_i, notfinite=scalar_i,
+                            gnorm=scalar_f, mu=sds, nu=sds)
+    return TrainState(params=template.params, sn_state=template.sn_state,
+                      opt_state=fused, step=template.step, rng=template.rng)
+
+
+def restore_checkpoint(path: str, template: TrainState,
+                       step: int | None = None,
+                       saved_opt_template: Any | None = None
+                       ) -> TrainState | None:
+    """Restore into the shape/sharding of `template`; None if no checkpoint.
+
+    If the checkpoint was saved with the other optimizer layout (meta item,
+    format v2), the moments are restored in the saved layout and migrated
+    via `migrate_opt_state` — this is the resume-across-mesh-reshape path
+    (e.g. DP=8 fused-flat -> data=4 x model=2 tree). For tree-saved ->
+    fused-target, pass `saved_opt_template` (a tx.init(params) of the tree
+    optimizer) since the tree structure is tx-specific.
+    """
+    with ocp.CheckpointManager(_abs(path)) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        meta = checkpoint_meta(path, step) or {"format_version": 1}
+        saved_layout = meta.get("opt_layout")
+        tgt_layout = opt_layout(template.opt_state)
+
+        if saved_layout is not None and saved_layout != tgt_layout:
+            if saved_opt_template is not None:
+                mid = TrainState(params=template.params,
+                                 sn_state=template.sn_state,
+                                 opt_state=saved_opt_template,
+                                 step=template.step, rng=template.rng)
+            else:
+                mid = _abstract_saved_template(template, saved_layout)
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, mid)
+            out = mgr.restore(step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract)))
+            restored = out["state"]
+            migrated = migrate_opt_state(restored.opt_state,
+                                         template.opt_state, restored.params)
+            # Land the migrated moments on the template's shardings.
+            migrated = jax.tree.map(
+                lambda l, t: jax.device_put(l, t.sharding)
+                if hasattr(t, "sharding") else l,
+                migrated, template.opt_state)
+            return TrainState(params=restored.params,
+                              sn_state=restored.sn_state,
+                              opt_state=migrated, step=restored.step,
+                              rng=restored.rng)
+
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        if meta.get("format_version", 1) >= 2:
+            out = mgr.restore(step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract)))
+            return out["state"]
+        # Legacy (v1, rounds 1-4): bare state, no meta item.
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 

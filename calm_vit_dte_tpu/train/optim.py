@@ -56,6 +56,7 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
                    lr_step_size: int = 5,
                    lr_gamma: float = 0.1,
                    decoupled_wd: bool = True,
+                   moment_dtype=jnp.float32,
                    ) -> optax.GradientTransformation:
     """skip_nonfinite reproduces torch GradScaler's step-skipping on inf/nan
     gradients (the only thing the scaler actually did under bf16; reference:
@@ -72,7 +73,13 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
     driver's optim.Adam(lr, weight_decay=0.02) + StepLR(5, 0.1)
     (CALM_ViT_V2.py:151-152): torch Adam's weight_decay is COUPLED L2
     (added to the gradient before the moments), unlike the distributed
-    trainers' AdamW."""
+    trainers' AdamW.
+
+    moment_dtype=jnp.bfloat16 halves the Adam-moment HBM footprint (the
+    update math still runs in fp32; only the stored mu/nu round) — the
+    hires-cls-1024 single-chip memory mode: 935.57M params x 8 B of fp32
+    moments = 7.5 GB does not leave room on a 16 GB chip, x 4 B does.
+    Only supported on the fused flat path."""
     if schedule == "steplr":
         sched = step_lr_schedule(base_lr, steps_per_epoch, lr_step_size,
                                  lr_gamma)
@@ -83,7 +90,11 @@ def make_optimizer(base_lr: float = 3.1e-3, weight_decay: float = 0.02,
         raise ValueError(f"unknown schedule {schedule!r}")
     if flatten and decoupled_wd:
         return _fused_flat_adamw(sched, b1, b2, 1e-8, weight_decay,
-                                 clip_norm, skip_nonfinite)
+                                 clip_norm, skip_nonfinite,
+                                 moment_dtype=moment_dtype)
+    if moment_dtype != jnp.float32:
+        raise ValueError("moment_dtype is only supported on the fused "
+                         "flat path (flatten=True, decoupled_wd=True)")
     if decoupled_wd:
         inner = optax.adamw(learning_rate=sched, b1=b1, b2=b2, eps=1e-8,
                             weight_decay=weight_decay)
@@ -115,7 +126,8 @@ class FusedAdamWState(NamedTuple):
 def _fused_flat_adamw(schedule, b1: float, b2: float, eps: float,
                       weight_decay: float, clip_norm: float,
                       skip_nonfinite: bool,
-                      max_consecutive_errors: int = 100
+                      max_consecutive_errors: int = 100,
+                      moment_dtype=jnp.float32,
                       ) -> optax.GradientTransformation:
     """clip_by_global_norm + AdamW + if-finite step-skip as ONE fused flat
     update.
@@ -137,7 +149,7 @@ def _fused_flat_adamw(schedule, b1: float, b2: float, eps: float,
 
     def init(params):
         flat, _ = ravel_pytree(params)
-        flat = flat.astype(jnp.float32)
+        flat = flat.astype(moment_dtype)
         return FusedAdamWState(
             count=jnp.zeros((), jnp.int32),
             notfinite=jnp.zeros((), jnp.int32),
@@ -165,15 +177,18 @@ def _fused_flat_adamw(schedule, b1: float, b2: float, eps: float,
         def do_apply(_):
             t = state.count + 1
             gc = g * scale
-            mu = b1 * state.mu + (1.0 - b1) * gc
-            nu = b2 * state.nu + (1.0 - b2) * gc * gc
+            # Moment math always in fp32; only storage rounds to
+            # moment_dtype (the hires single-chip memory mode).
+            mu = b1 * state.mu.astype(jnp.float32) + (1.0 - b1) * gc
+            nu = b2 * state.nu.astype(jnp.float32) + (1.0 - b2) * gc * gc
             tf = t.astype(jnp.float32)
             mu_hat = mu / (1.0 - b1 ** tf)
             nu_hat = nu / (1.0 - b2 ** tf)
             lr = schedule(state.count).astype(jnp.float32)
             upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps)
                          + weight_decay * p)
-            return upd, mu, nu, t, jnp.zeros((), jnp.int32)
+            return (upd, mu.astype(moment_dtype), nu.astype(moment_dtype),
+                    t, jnp.zeros((), jnp.int32))
 
         def do_skip(_):
             return (jnp.zeros_like(g), state.mu, state.nu, state.count,

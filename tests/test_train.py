@@ -297,3 +297,41 @@ def test_microbatch_requires_divisible_batch(tiny_step):
                                     microbatches=3))
     with pytest.raises(ValueError, match="not divisible"):
         step3(state, batch)
+
+
+def test_fused_adamw_bf16_moments():
+    """moment_dtype=bfloat16 (the hires single-chip memory mode): moments
+    are STORED in bf16 (half HBM), update math stays fp32 — trajectories
+    track the fp32-moment optimizer closely over several steps."""
+    import optax
+
+    from calm_vit_dte_tpu.train.optim import make_optimizer
+
+    key = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(key, (64, 32)),
+              "b": jnp.zeros((16,))}
+    tx32 = make_optimizer(3.1e-3, 0.02, epochs=4, steps_per_epoch=2)
+    tx16 = make_optimizer(3.1e-3, 0.02, epochs=4, steps_per_epoch=2,
+                          moment_dtype=jnp.bfloat16)
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert s16.mu.dtype == jnp.bfloat16 and s16.nu.dtype == jnp.bfloat16
+    assert s32.mu.dtype == jnp.float32
+    p32 = jax.tree.map(jnp.copy, params)
+    p16 = jax.tree.map(jnp.copy, params)
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p: 0.1 * jax.random.normal(
+                jax.random.fold_in(key, i), p.shape), params)
+        u32, s32 = tx32.update(g, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p16 = optax.apply_updates(p16, u16)
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(p16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)
+
+    # tree path rejects it (moments must keep per-param shardings under TP)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="moment_dtype"):
+        make_optimizer(3.1e-3, 0.02, flatten=False,
+                       moment_dtype=jnp.bfloat16)
