@@ -237,6 +237,8 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
     last_batch = None
     for epoch in range(start_epoch, cfg.epochs):
         sampler.set_epoch(epoch)
+        epoch_t0 = time.time()
+        epoch_tick0 = len(logger.step_times)
         # Device prefetch: the NEXT batch transfers to HBM while the current
         # step executes (jit dispatch is async), hiding host->device latency
         # behind compute.
@@ -257,6 +259,7 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
                 # compile entirely.
                 jit_step = compiled
         i = 0
+        metrics = None
         while batch is not None:
             state, metrics = jit_step(state, batch)
             last_batch = batch
@@ -282,6 +285,9 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
         save_checkpoint(cfg.checkpoint_dir, state)  # collective: all procs
         if is_chief():
             print(f"checkpoint saved at step {int(state.step)}", flush=True)
+            if cfg.epoch_stats_path:
+                _write_epoch_stats(cfg, logger, epoch, i, epoch_t0,
+                                   epoch_tick0, metrics)
             if cfg.task == "reg" and cfg.save_samples_dir and \
                     last_batch is not None:
                 _dump_samples(cfg, state, last_batch)
@@ -292,6 +298,37 @@ def train(cfg: TrainConfig, max_steps: int | None = None,
         print(f"Time taken: {time.time() - t_start:.1f}s, "
               f"p50 step: {p50 if p50 else float('nan'):.4f}s", flush=True)
     return state
+
+
+def _write_epoch_stats(cfg: TrainConfig, logger, epoch: int, steps: int,
+                       epoch_t0: float, epoch_tick0: int, metrics) -> None:
+    """One JSONL line per epoch boundary: timing, throughput, RSS — the
+    long-running-process evidence the endurance soak records (the reference's
+    implicit equivalent: 65 epochs of rank-0 prints + a saved model;
+    distributed_trainer_cls.py:103-107)."""
+    import json
+    import resource
+
+    import numpy as np
+
+    wall = time.time() - epoch_t0
+    times = logger.step_times[epoch_tick0:]
+    p50 = float(np.percentile(times, 50)) if times else None
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    row = {
+        "epoch": epoch,
+        "steps": steps,
+        "wall_s": round(wall, 2),
+        "p50_step_s": round(p50, 4) if p50 is not None else None,
+        "steps_per_s": round(steps / wall, 4) if wall > 0 else None,
+        "img_per_s": round(steps * cfg.global_batch_size / wall, 1)
+        if wall > 0 else None,
+        "rss_mb": round(rss_mb, 1),
+        "loss": float(metrics["loss"]) if metrics else None,
+        "ts": time.time(),
+    }
+    with open(cfg.epoch_stats_path, "a") as f:
+        f.write(json.dumps(row) + "\n")
 
 
 def _dump_samples(cfg: TrainConfig, state: TrainState, batch) -> None:

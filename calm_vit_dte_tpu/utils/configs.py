@@ -45,6 +45,8 @@ class TrainConfig:
     mesh_model: int = 1               # tensor-parallel axis size (data axis
                                       # spans the remaining devices)
     tp_min_shard_dim: int = 512       # smallest weight dim sharded under TP
+    epoch_stats_path: str = ""        # chief writes one JSONL line per epoch
+                                      # (p50, steps/s, RSS) — soak evidence
 
 
 def _vit_224(generate: bool, out_features: int) -> ViTConfig:
