@@ -149,17 +149,25 @@ def migrate_opt_state(saved_opt: Any, target_opt_template: Any,
         mu_tree = unravel(saved_opt.mu)
         nu_tree = unravel(saved_opt.nu)
 
+        # Fresh buffer per insertion: the saved count lands in BOTH the
+        # Adam state and the schedule state, and an aliased buffer appearing
+        # twice in the train state breaks the donated production step
+        # ("Attempt to donate the same buffer twice") on the first update
+        # after a cross-layout resume.
+        def _copy(x):
+            return jnp.array(x)
+
         def fn(node):
             if isinstance(node, optax.ScaleByAdamState):
-                return node._replace(count=saved_opt.count, mu=mu_tree,
-                                     nu=nu_tree)
+                return node._replace(count=_copy(saved_opt.count),
+                                     mu=mu_tree, nu=nu_tree)
             if isinstance(node, optax.ScaleByScheduleState):
                 # The LR schedule's own step counter — without this the
                 # cosine schedule would restart from epoch 0 on resume.
-                return node._replace(count=saved_opt.count)
+                return node._replace(count=_copy(saved_opt.count))
             if isinstance(node, optax.ApplyIfFiniteState):
                 return node._replace(
-                    notfinite_count=saved_opt.notfinite,
+                    notfinite_count=_copy(saved_opt.notfinite),
                     inner_state=_map_namedtuples(node.inner_state, fn))
             return None
 

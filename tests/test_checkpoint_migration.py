@@ -38,8 +38,13 @@ def _mk(flatten: bool):
     tx = make_optimizer(1e-3, 0.02, epochs=4, steps_per_epoch=2,
                         flatten=flatten)
     state = create_train_state(params, sn_state, tx, jax.random.PRNGKey(1))
+    # donate_argnums mirrors the production trainer — and catches migrated
+    # states that alias one buffer into two tree slots (donating such a
+    # state is an XLA error; the schedule-count copy in migrate_opt_state
+    # exists exactly for this).
     step = jax.jit(make_train_step(cfg.model, tx, "cls",
-                                   dtype=jnp.float32, remat=False))
+                                   dtype=jnp.float32, remat=False),
+                   donate_argnums=0)
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.standard_normal((8, 48, 48, 3)),
