@@ -32,11 +32,17 @@ from calm_vit_dte_tpu.utils.logging import is_chief
 
 
 def evaluate(cfg: TrainConfig, max_batches: int | None = None,
-             mesh=None, quantize: str | None = None) -> float:
+             mesh=None, quantize: str | None = None,
+             stats_out: dict | None = None) -> float:
     """Top-1 accuracy over the val split. quantize='int8'/'int8-wo' runs
     the whole evaluation through the post-training-quantized serving tree
     (quantize.py), pinning int8 top-1 end-to-end — the number serving users
-    actually get, not a per-op error bound."""
+    actually get, not a per-op error bound.
+
+    stats_out, if given, is filled with end-to-end timing (wall_s, images,
+    img_per_s, loader_wait_s, device_s) — the full-val-scale bench
+    (scripts/bench_eval_50k.py) reads these to report loader-vs-chip
+    utilization over an ImageNet-val-sized corpus."""
     maybe_init_distributed()
     mesh = mesh if mesh is not None else make_mesh()
 
@@ -97,10 +103,23 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
                          num_workers=cfg.num_workers, pad_last=True)
     sh = batch_sharding(mesh)
     correct = total = 0
-    for i, host_batch in enumerate(loader):
+    import time
+
+    t_start = time.time()
+    loader_wait = device_s = 0.0
+    it = enumerate(loader)
+    while True:
+        t = time.time()
+        try:
+            i, host_batch = next(it)
+        except StopIteration:
+            break
+        loader_wait += time.time() - t
+        t = time.time()
         batch = {k: jax.make_array_from_process_local_data(sh, v)
                  for k, v in host_batch.items()}
         c, n = jax.device_get(jit_eval(frozen, state.sn_state, batch))
+        device_s += time.time() - t
         correct += int(c)
         total += int(n)
         if is_chief() and i % 10 == 0:
@@ -109,6 +128,13 @@ def evaluate(cfg: TrainConfig, max_batches: int | None = None,
         if max_batches is not None and i + 1 >= max_batches:
             break
     acc = correct / max(total, 1)
+    if stats_out is not None:
+        wall = time.time() - t_start
+        stats_out.update(
+            wall_s=round(wall, 2), images=total,
+            img_per_s=round(total / max(wall, 1e-9), 2),
+            loader_wait_s=round(loader_wait, 2),
+            device_s=round(device_s, 2))
     if is_chief():
         print(f"top-1 accuracy: {acc * 100:.2f}% over {total} images",
               flush=True)
