@@ -418,6 +418,26 @@ def main() -> None:
                 print(f"reconstruct bench bs={rbs} failed: "
                       f"{type(e).__name__}: {str(e)[:200]}",
                       file=sys.stderr, flush=True)
+    # Third workload (round 5): imagenet-cls-256 (the reference's
+    # EncoderDecoder_8 256px defaults) at its best measured config —
+    # 4x128-accum — so the crop-lowering fix's +23% (NOTES.md "Round-5
+    # imagenet-cls-256") is tracked in the driver-recorded JSON.
+    # BENCH_SKIP_256=1 skips it.
+    if os.environ.get("BENCH_SKIP_256") != "1":
+        for cbs, cmicro in ((512, 4), (128, 1)):
+            try:
+                cips, cp50, closs, cmfu = measure(cbs, remat=False,
+                                                  microbatches=cmicro,
+                                                  config="imagenet-cls-256")
+                out["cls256_train_images_per_sec_per_chip"] = round(cips, 2)
+                out["cls256_p50_step_time_s"] = round(cp50, 4)
+                out["cls256_batch_size"] = cbs
+                if cmfu is not None:
+                    out["cls256_mfu"] = round(cmfu, 4)
+                break
+            except Exception as e:
+                print(f"cls256 bench bs={cbs} failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr, flush=True)
     # Toolchain canaries (~1 min): re-measure the two deliberately-unadopted
     # layouts vs committed baselines so a jax/libtpu upgrade that flips a
     # parked-optimization verdict shows up in the driver-recorded
