@@ -143,3 +143,26 @@ def test_float_chain_vs_uint8_rounding_quantified(imgs):
     assert err.max() <= 0.12, err.max()
     print(f"float-vs-uint8 chain: p99 {np.quantile(err, 0.99)*255:.2f}/255, "
           f"max {err.max()*255:.1f}/255")
+
+
+@pytest.mark.parametrize("h,crop", [(256, 224), (292, 256), (1168, 1024)])
+def test_random_crop_matches_dynamic_slice(h, crop):
+    """The axis-aligned take_along_axis crop (round 5 — fixes a 75 ms/step
+    XLA lowering pathology at the cls-256 shapes, NOTES.md "Round-5
+    imagenet-cls-256") must select exactly the same window as the
+    vmap(dynamic_slice) formulation it replaced: same keys -> same randint
+    draws -> bit-identical output, at every config's (decode, crop) pair."""
+    from calm_vit_dte_tpu.data.augment import _random_crop
+
+    rng = np.random.default_rng(0)
+    b = 4 if h > 512 else 8
+    imgs_u8 = jnp.asarray(rng.integers(0, 256, (b, h, h, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(7)
+    new = _random_crop(key, imgs_u8, crop)
+
+    ky, kx = jax.random.split(key)
+    tops = jax.random.randint(ky, (b,), 0, h - crop + 1)
+    lefts = jax.random.randint(kx, (b,), 0, h - crop + 1)
+    old = jax.vmap(lambda im, t, l: jax.lax.dynamic_slice(
+        im, (t, l, 0), (crop, crop, 3)))(imgs_u8, tops, lefts)
+    np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
